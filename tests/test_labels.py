@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+from nrse_tpu.labels import (
+    BASELINE_EMOTIONS_MAP,
+    VALID_EMOTIONS_MAP,
+    base_filename_candidates,
+    clean_filename,
+    emotion_to_one_hot,
+    parse_label_list,
+)
+from nrse_tpu.labels.parsing import filter_label_list, write_label_list
+
+SAMPLE_LINES = """\
+Audios/MSP-PODCAST_0408_0129.wav; H; A:5.4; V:4.0; D:5.6;
+Audios/MSP-PODCAST_0407_0238.wav; X; A:5.2; V:4.4; D:4.8;
+Audios_noisy_test2/8/MSP-PODCAST_1844_0165_snr8_XqXLI7bDb-I.wav; H; A:5.333333; V:4.166667; D:4.666667;
+Audios/MSP-PODCAST_0408_0307.wav; O; A:5.4; V:4.4; D:5.2;
+"""
+
+
+@pytest.fixture
+def sample_list(tmp_path):
+    p = tmp_path / "list.txt"
+    p.write_text(SAMPLE_LINES)
+    return str(p)
+
+
+def test_parse_label_list(sample_list):
+    entries = parse_label_list(sample_list)
+    assert len(entries) == 4
+    e = entries[0]
+    assert e.path == "Audios/MSP-PODCAST_0408_0129.wav"
+    assert e.emo_class == "H"
+    assert e.emotion == BASELINE_EMOTIONS_MAP["H"] == 2
+    assert e.arousal == 5.4 and e.valence == 4.0 and e.dominance == 5.6
+    # invalid classes map to -1 in the baseline surface
+    assert entries[1].emotion == -1
+
+
+def test_parse_with_audio_dir(sample_list):
+    entries = parse_label_list(sample_list, audio_dir="/data")
+    assert entries[0].path == "/data/Audios/MSP-PODCAST_0408_0129.wav"
+
+
+def test_drop_invalid(sample_list, tmp_path):
+    out = tmp_path / "processed.txt"
+    kept = filter_label_list(sample_list, str(out))
+    assert kept == 2
+    entries = parse_label_list(str(out))
+    assert all(e.emo_class not in ("X", "O") for e in entries)
+
+
+def test_emotion_orderings_differ():
+    # NRSE order (emotion_dataset.py) vs Odyssey baseline order differ on S/H/F/U
+    assert VALID_EMOTIONS_MAP["H"] == 1 and BASELINE_EMOTIONS_MAP["H"] == 2
+    assert VALID_EMOTIONS_MAP["S"] == 2 and BASELINE_EMOTIONS_MAP["S"] == 1
+
+
+def test_clean_filename():
+    assert clean_filename(
+        "Audios_noisy_test2/8/MSP-PODCAST_1844_0165_snr8_XqX.wav"
+    ) == "MSP-PODCAST_1844_0165.wav"
+    assert clean_filename("Audios/MSP-PODCAST_0408_0129.wav") == \
+        "MSP-PODCAST_0408_0129.wav"
+
+
+def test_base_filename_candidates():
+    c = base_filename_candidates("MSP-PODCAST_3469_0114_0006_snr2_jtw.wav")
+    assert c == ["MSP-PODCAST_3469_0114.wav", "MSP-PODCAST_3469_0114_0006.wav"]
+    c = base_filename_candidates("MSP-PODCAST_0133_0459_snr2_IPb.wav")
+    assert c == ["MSP-PODCAST_0133_0459.wav"]
+
+
+def test_one_hot():
+    oh = emotion_to_one_hot("H")
+    assert oh[BASELINE_EMOTIONS_MAP["H"]] == 1.0 and oh.sum() == 1.0
+    assert emotion_to_one_hot("X").sum() == 0.0
