@@ -1,0 +1,495 @@
+"""WavLM encoder in Flax, designed TPU-first.
+
+Capability parity: the reference wraps HF ``microsoft/wavlm-large``
+(``src/models/encoder.py:5-32``; architecture defined by transformers
+``modeling_wavlm.py``).  This is a from-scratch JAX implementation of the
+same architecture:
+
+  raw 16 kHz waveform
+    → 7-layer strided conv feature encoder (per-layer LayerNorm for the
+      "layer" norm variant used by wavlm-large; GroupNorm-first for "group")
+    → feature projection (LayerNorm + Linear 512→1024 + dropout)
+    → optional SpecAugment time masking with a learned mask embedding
+    → transformer encoder: grouped weight-normalised conv positional
+      embedding, 24 pre-LN layers with gated-relative-position-bias
+      attention, final LayerNorm (stable-layer-norm variant)
+
+TPU-native design decisions (vs a torch translation):
+  * The 24 identical transformer layers run under ``nn.scan`` with stacked
+    parameters — one compiled layer body, faster XLA compiles, and a layout
+    that shards naturally over a mesh.
+  * The bucketed relative position bias lives at the *encoder* level (HF
+    hides it inside layer 0) and is passed to every layer in factored form
+    ``gate ⊙ pos_bias``; the full ``[B*H, T, T]`` gated tensor is never
+    materialised (see ``nrse_tpu/ops/attention.py``).
+  * Computation is bfloat16 with float32 parameters and float32
+    LayerNorm/softmax (MXU-friendly mixed precision).
+  * LayerDrop is expressed as a per-layer ``where`` inside the scan (XLA
+    needs static shapes; the skip saves no FLOPs on TPU anyway).
+  * ``WavLMModel.__call__`` returns both the frame sequence (for ASP
+    pooling in the emotion path) and a masked mean-pooled utterance
+    embedding (for the BYOL towers), resolving the reference's encoder
+    output-shape inconsistency (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nrse_tpu.ops.attention import gated_bias_attention
+from nrse_tpu.ops.rel_pos_bias import compute_position_bias
+
+
+@dataclasses.dataclass(frozen=True)
+class WavLMConfig:
+    """Architecture hyper-parameters (field names follow the HF config)."""
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"  # "layer" (large) | "group" (base)
+    do_stable_layer_norm: bool = True
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    feat_proj_dropout: float = 0.0
+    layerdrop: float = 0.1
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
+    # TPU execution knobs
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    use_flash_attention: bool = False
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def large(cls, **kw) -> "WavLMConfig":
+        """microsoft/wavlm-large (the reference's encoder backbone)."""
+        return cls(**kw)
+
+    @classmethod
+    def base_plus(cls, **kw) -> "WavLMConfig":
+        """microsoft/wavlm-base-plus (used by the reference's smoke test,
+        ``src/models/encoder.py:36``)."""
+        return cls(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_bias=False,
+            feat_extract_norm="group", do_stable_layer_norm=False,
+            layerdrop=0.05, **kw,
+        )
+
+    @classmethod
+    def tiny(cls, **kw) -> "WavLMConfig":
+        """Small config for tests (golden comparisons vs HF)."""
+        return cls(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, conv_dim=(32,) * 3,
+            conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_buckets=40, max_bucket_distance=100,
+            dtype=jnp.float32, **kw,
+        )
+
+    @classmethod
+    def from_model_name(cls, name: str, **kw) -> "WavLMConfig":
+        if "large" in name:
+            return cls.large(**kw)
+        if "base" in name:
+            return cls.base_plus(**kw)
+        raise ValueError(f"unknown WavLM variant: {name}")
+
+    def feature_lengths(self, input_lengths):
+        """Conv-stack output length for given waveform lengths.
+
+        Equivalent of HF ``_get_feat_extract_output_lengths``:
+        ``L -> (L - kernel) // stride + 1`` per conv layer.
+        """
+        lengths = input_lengths
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            lengths = (lengths - k) // s + 1
+        return lengths
+
+
+class ConvFeatureEncoder(nn.Module):
+    """Strided 1-D conv stack: 16 kHz samples → ~50 Hz frame features."""
+
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, input_values):
+        cfg = self.config
+        h = input_values[:, :, None].astype(cfg.dtype)  # [B, T, 1] (NWC)
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            h = nn.Conv(
+                dim, (k,), strides=(s,), padding="VALID",
+                use_bias=cfg.conv_bias, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=f"conv_{i}",
+            )(h)
+            if cfg.feat_extract_norm == "layer":
+                h = nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                    param_dtype=cfg.param_dtype, name=f"layer_norm_{i}",
+                )(h).astype(cfg.dtype)
+            elif cfg.feat_extract_norm == "group" and i == 0:
+                h = nn.GroupNorm(
+                    num_groups=dim, dtype=jnp.float32,
+                    param_dtype=cfg.param_dtype, name="group_norm",
+                )(h).astype(cfg.dtype)
+            h = jax.nn.gelu(h, approximate=False)
+        return h  # [B, T_frames, conv_dim[-1]]
+
+
+class FeatureProjection(nn.Module):
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        norm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+            param_dtype=cfg.param_dtype, name="layer_norm",
+        )(x).astype(cfg.dtype)
+        h = nn.Dense(
+            cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="projection",
+        )(norm)
+        h = nn.Dropout(cfg.feat_proj_dropout)(h, deterministic=deterministic)
+        return h
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding with weight normalisation.
+
+    Parameters are stored factored as ``weight_g``/``weight_v`` (torch
+    ``weight_norm`` over all dims except the kernel axis), matching the
+    checkpoint-bridge key layout the reference manipulates
+    (``baseline/train_ft_cat_ser_weighted_checkpoint.py:148-153``).
+    """
+
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        c = cfg.hidden_size
+        g = cfg.num_conv_pos_embedding_groups
+        k = cfg.num_conv_pos_embeddings
+
+        weight_v = self.param(
+            "weight_v",
+            nn.initializers.normal(stddev=jnp.sqrt(4.0 / (k * c))),
+            (c, c // g, k), cfg.param_dtype,
+        )
+        weight_g = self.param(
+            "weight_g", nn.initializers.ones, (1, 1, k), cfg.param_dtype
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), cfg.param_dtype)
+
+        # weight_norm(dim=2): per kernel position, normalise over (out, in).
+        norm = jnp.sqrt(
+            jnp.sum(weight_v.astype(jnp.float32) ** 2, axis=(0, 1), keepdims=True)
+            + 1e-12
+        )
+        weight = (weight_g * weight_v / norm).astype(cfg.dtype)
+
+        lhs = jnp.transpose(x, (0, 2, 1)).astype(cfg.dtype)  # NCW
+        out = jax.lax.conv_general_dilated(
+            lhs, weight, window_strides=(1,), padding=[(k // 2, k // 2)],
+            dimension_numbers=("NCW", "OIW", "NCW"), feature_group_count=g,
+        )
+        if k % 2 == 0:  # SamePad: drop the trailing element
+            out = out[:, :, :-1]
+        out = out + bias[None, :, None].astype(cfg.dtype)
+        out = jax.nn.gelu(out, approximate=False)
+        return jnp.transpose(out, (0, 2, 1))
+
+
+class GatedAttention(nn.Module):
+    """Self-attention with WavLM's gated relative position bias."""
+
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, hidden, pos_bias, key_padding_mask=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        b, t, c = hidden.shape
+        h, d = cfg.num_attention_heads, cfg.head_dim
+        dense = partial(
+            nn.Dense, dtype=cfg.dtype, param_dtype=cfg.param_dtype
+        )
+
+        def split_heads(x):
+            return jnp.transpose(x.reshape(b, t, h, d), (0, 2, 1, 3))
+
+        q = split_heads(dense(c, name="q_proj")(hidden))
+        k = split_heads(dense(c, name="k_proj")(hidden))
+        v = split_heads(dense(c, name="v_proj")(hidden))
+
+        # Per-(batch, head, query) gate computed from the attention input
+        # (not the q projection) — HF WavLMAttention semantics.
+        gh = jnp.transpose(hidden.reshape(b, t, h, d), (0, 2, 1, 3))
+        proj = dense(8, name="gru_rel_pos_linear")(gh)  # [B, H, T, 8]
+        proj = proj.reshape(b, h, t, 2, 4).sum(-1)
+        gates = jax.nn.sigmoid(proj.astype(jnp.float32))
+        gate_a, gate_b = gates[..., 0], gates[..., 1]
+        const = self.param(
+            "gru_rel_pos_const", nn.initializers.ones, (h,), cfg.param_dtype
+        )
+        gate = gate_a * (gate_b * const[None, :, None] - 1.0) + 2.0  # [B,H,T]
+
+        if cfg.use_flash_attention:
+            from nrse_tpu.ops.flash_attention import flash_gated_attention
+
+            out = flash_gated_attention(
+                q, k, v, gate, pos_bias, key_padding_mask
+            )
+        else:
+            out = gated_bias_attention(q, k, v, gate, pos_bias, key_padding_mask)
+            if cfg.attention_dropout > 0.0 and not deterministic:
+                # HF drops attention *probabilities*; with the factored/flash
+                # path we drop the per-head outputs instead (documented
+                # deviation — probability dropout would force materialising
+                # the [B,H,T,T] tensor this design exists to avoid).
+                out = nn.Dropout(cfg.attention_dropout)(
+                    out, deterministic=deterministic
+                )
+
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, c)
+        return dense(c, name="out_proj")(out)
+
+
+class FeedForward(nn.Module):
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        h = nn.Dense(
+            cfg.intermediate_size, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="intermediate_dense",
+        )(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
+        h = nn.Dense(
+            cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="output_dense",
+        )(h)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        return h
+
+
+class EncoderLayer(nn.Module):
+    """One transformer layer; pre-LN ("stable") or post-LN variant."""
+
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, hidden, pos_bias, key_padding_mask=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        layer_input = hidden
+        ln = partial(
+            nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+            param_dtype=cfg.param_dtype,
+        )
+        attn = GatedAttention(cfg, name="attention")
+        ff = FeedForward(cfg, name="feed_forward")
+        drop = nn.Dropout(cfg.hidden_dropout)
+
+        if cfg.do_stable_layer_norm:
+            x = ln(name="layer_norm")(hidden).astype(cfg.dtype)
+            x = attn(x, pos_bias, key_padding_mask, deterministic)
+            hidden = hidden + drop(x, deterministic=deterministic)
+            y = ln(name="final_layer_norm")(hidden).astype(cfg.dtype)
+            hidden = hidden + ff(y, deterministic)
+        else:
+            x = attn(hidden, pos_bias, key_padding_mask, deterministic)
+            hidden = hidden + drop(x, deterministic=deterministic)
+            hidden = ln(name="layer_norm")(hidden).astype(cfg.dtype)
+            hidden = hidden + ff(hidden, deterministic)
+            hidden = ln(name="final_layer_norm")(hidden).astype(cfg.dtype)
+
+        if cfg.layerdrop > 0.0 and not deterministic:
+            keep = jax.random.bernoulli(
+                self.make_rng("layerdrop"), 1.0 - cfg.layerdrop
+            )
+            # Static shapes under XLA: compute-and-select (skipping would
+            # save no wall-clock on TPU; semantics match stochastic depth).
+            hidden = jnp.where(keep, hidden, layer_input)
+        return hidden
+
+
+class _ScanLayer(nn.Module):
+    """nn.scan body: EncoderLayer with the (carry, out) contract."""
+
+    config: WavLMConfig
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, hidden, pos_bias, key_padding_mask):
+        out = EncoderLayer(self.config, name="layer")(
+            hidden, pos_bias, key_padding_mask, self.deterministic
+        )
+        return out, None
+
+
+class WavLMEncoder(nn.Module):
+    """Transformer encoder stack (stable-LN layout for wavlm-large)."""
+
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, hidden, attention_mask=None, deterministic: bool = True):
+        cfg = self.config
+        if attention_mask is not None:
+            hidden = hidden * attention_mask[..., None].astype(hidden.dtype)
+
+        hidden = hidden + PositionalConvEmbedding(cfg, name="pos_conv_embed")(hidden)
+        if not cfg.do_stable_layer_norm:
+            hidden = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                param_dtype=cfg.param_dtype, name="layer_norm",
+            )(hidden).astype(cfg.dtype)
+        hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
+
+        # Encoder-level relative position bias table (HF keeps it in layer 0;
+        # the converter re-homes it here).
+        rel_attn_embed = self.param(
+            "rel_attn_embed", nn.initializers.normal(stddev=0.02),
+            (cfg.num_buckets, cfg.num_attention_heads), cfg.param_dtype,
+        )
+        t = hidden.shape[1]
+        pos_bias = compute_position_bias(
+            rel_attn_embed.astype(jnp.float32), t, t,
+            cfg.num_buckets, cfg.max_bucket_distance,
+        )
+
+        body_cls = _ScanLayer
+        if cfg.remat:
+            body_cls = nn.remat(_ScanLayer, prevent_cse=False)
+
+        # One compiled layer body scanned over stacked parameters.
+        stack = nn.scan(
+            body_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True, "layerdrop": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=cfg.num_hidden_layers,
+        )(cfg, deterministic, name="layers")
+        hidden, _ = stack(hidden, pos_bias, attention_mask)
+
+        if cfg.do_stable_layer_norm:
+            hidden = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                param_dtype=cfg.param_dtype, name="layer_norm",
+            )(hidden).astype(cfg.dtype)
+        return hidden
+
+
+class WavLMModel(nn.Module):
+    """Full model: conv frontend + projection + SpecAugment + transformer.
+
+    Returns ``(sequence [B,T',C], pooled [B,C])``; the pooled output is the
+    masked mean over frames (the BYOL towers consume it — SURVEY.md §3.5).
+    """
+
+    config: WavLMConfig
+
+    @nn.compact
+    def __call__(self, input_values, attention_mask=None,
+                 deterministic: bool = True, apply_spec_augment=None):
+        cfg = self.config
+        if input_values.ndim == 3:  # [B, 1, T] parity (encoder.py:20-22)
+            input_values = input_values[:, 0, :]
+
+        feats = ConvFeatureEncoder(cfg, name="feature_extractor")(input_values)
+        t_frames = feats.shape[1]
+
+        frame_mask = None
+        if attention_mask is not None:
+            lengths = self.config.feature_lengths(
+                jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+            )
+            frame_mask = (
+                jnp.arange(t_frames)[None, :] < lengths[:, None]
+            ).astype(jnp.int32)
+
+        hidden = FeatureProjection(cfg, name="feature_projection")(
+            feats, deterministic
+        )
+
+        do_specaug = cfg.apply_spec_augment if apply_spec_augment is None \
+            else apply_spec_augment
+        if do_specaug and cfg.mask_time_prob > 0.0:
+            masked_spec_embed = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(scale=1.0),
+                (cfg.hidden_size,), cfg.param_dtype,
+            )
+            if not deterministic:
+                time_mask = _sample_time_mask(
+                    self.make_rng("spec_augment"),
+                    hidden.shape[0], t_frames,
+                    cfg.mask_time_prob, cfg.mask_time_length,
+                    cfg.mask_time_min_masks,
+                )
+                hidden = jnp.where(
+                    time_mask[..., None],
+                    masked_spec_embed[None, None, :].astype(hidden.dtype),
+                    hidden,
+                )
+
+        hidden = WavLMEncoder(cfg, name="encoder")(
+            hidden, frame_mask, deterministic
+        )
+
+        if frame_mask is not None:
+            m = frame_mask[..., None].astype(hidden.dtype)
+            pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(
+                jnp.sum(m, axis=1), 1.0
+            )
+        else:
+            pooled = jnp.mean(hidden, axis=1)
+        return hidden, pooled
+
+
+def _sample_time_mask(rng, batch, length, prob, span, min_masks):
+    """Vectorised SpecAugment span sampling ([B, T] boolean).
+
+    Same statistics as HF ``_compute_mask_indices`` (span count
+    ``max(min_masks, round(prob * T / span))``, uniform span starts,
+    overlaps allowed); the exact numpy sampling procedure differs — this is
+    random augmentation, not a numerics contract.
+    """
+    n_spans = max(min_masks, int(prob * length / span + 0.5))
+    starts = jax.random.randint(
+        rng, (batch, n_spans), 0, max(1, length - span)
+    )
+    idx = jnp.arange(length)[None, None, :]
+    in_span = (idx >= starts[..., None]) & (idx < starts[..., None] + span)
+    return jnp.any(in_span, axis=1)

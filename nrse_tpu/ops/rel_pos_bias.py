@@ -1,0 +1,76 @@
+"""WavLM bucketed relative position bias.
+
+The reference relies on HF's ``WavLMAttention.compute_bias`` /
+``_relative_positions_bucket`` (transformers ``modeling_wavlm.py``; the
+T5-style log-spaced bucketing with ``num_buckets=320``, ``max_distance=800``).
+
+TPU-native design notes:
+  * For a fixed sequence length the bucket matrix is a compile-time
+    constant — it is computed in numpy (cached) and baked into the program,
+    so the only device work is one embedding gather per forward.
+  * The bias is kept in its factored form ``pos_bias[H, T, T]`` shared
+    across the batch; the per-(batch, head, query) *gate* is applied inside
+    the attention op (see ``nrse_tpu/ops/attention.py``) instead of
+    materialising HF's ``[B*H, T, T]`` gated tensor — an O(B) HBM-traffic
+    saving.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+
+@lru_cache(maxsize=32)
+def relative_position_buckets(
+    query_length: int,
+    key_length: int,
+    num_buckets: int = 320,
+    max_distance: int = 800,
+) -> np.ndarray:
+    """[T_q, T_k] int32 bucket indices (bidirectional T5-style bucketing).
+
+    Half the buckets encode sign (key after query), half the magnitude;
+    magnitudes below ``num_buckets//4`` are exact, larger distances are
+    log-spaced up to ``max_distance``.
+    """
+    half = num_buckets // 2
+    ctx = np.arange(query_length, dtype=np.int64)[:, None]
+    mem = np.arange(key_length, dtype=np.int64)[None, :]
+    rel = mem - ctx
+
+    buckets = (rel > 0).astype(np.int64) * half
+    rel_abs = np.abs(rel)
+
+    max_exact = half // 2
+    is_small = rel_abs < max_exact
+
+    # log-spaced buckets for large distances
+    rel_large = rel_abs.astype(np.float64) / max_exact
+    with np.errstate(divide="ignore"):
+        rel_large = np.log(np.maximum(rel_large, 1e-20))
+    rel_large = rel_large / math.log(max_distance / max_exact)
+    rel_large = (max_exact + rel_large * (half - max_exact)).astype(np.int64)
+    rel_large = np.minimum(rel_large, half - 1)
+
+    buckets += np.where(is_small, rel_abs, rel_large)
+    return buckets.astype(np.int32)
+
+
+def compute_position_bias(rel_attn_embed, query_length: int, key_length: int,
+                          num_buckets: int = 320, max_distance: int = 800):
+    """Gather the bias table into ``[num_heads, T_q, T_k]``.
+
+    ``rel_attn_embed``: [num_buckets, num_heads] embedding table (the
+    encoder-level parameter; HF stores it inside layer 0 — the converter
+    re-homes it).
+    """
+    import jax.numpy as jnp
+
+    buckets = jnp.asarray(
+        relative_position_buckets(query_length, key_length, num_buckets, max_distance)
+    )
+    values = jnp.take(rel_attn_embed, buckets, axis=0)  # [T_q, T_k, H]
+    return jnp.transpose(values, (2, 0, 1))

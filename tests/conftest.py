@@ -23,7 +23,7 @@ import jax
 # interpreter start (sitecustomize), overriding JAX_PLATFORMS — pin the
 # config value too so tests never dial the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/nrse_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/nrse_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np

@@ -1,0 +1,135 @@
+"""Golden-activation tests: our Flax WavLM vs the HF torch implementation.
+
+Per the rebuild test plan (SURVEY.md §4b): a tiny random-initialised HF
+WavLM config, weights converted with ``hf_wavlm_to_params``, activations
+compared end-to-end on CPU in float32.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from nrse_tpu.models.convert import hf_wavlm_to_params
+from nrse_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+
+def make_hf_tiny(stable_layer_norm=True):
+    from transformers import WavLMConfig as HFConfig
+    from transformers import WavLMModel as HFModel
+
+    hf_cfg = HFConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        conv_dim=(32, 32, 32),
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+        num_feat_extract_layers=3,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        num_buckets=40,
+        max_bucket_distance=100,
+        do_stable_layer_norm=stable_layer_norm,
+        feat_extract_norm="layer" if stable_layer_norm else "group",
+        conv_bias=stable_layer_norm,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        mask_time_prob=0.05,
+    )
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+    cfg = WavLMConfig.tiny(
+        conv_bias=stable_layer_norm,
+        do_stable_layer_norm=stable_layer_norm,
+        feat_extract_norm="layer" if stable_layer_norm else "group",
+    )
+    return hf, cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    return make_hf_tiny(stable_layer_norm=True)
+
+
+def test_golden_forward_no_mask(tiny_pair):
+    hf, cfg = tiny_pair
+    params = hf_wavlm_to_params(hf.state_dict(), cfg)
+    model = WavLMModel(cfg)
+
+    x = np.random.default_rng(0).standard_normal((2, 8000)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x)).last_hidden_state.numpy()
+    seq, pooled = model.apply(params, jnp.asarray(x))
+    seq = np.asarray(seq)
+
+    assert seq.shape == ref.shape
+    err = np.abs(seq - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-4, f"relative error {err}"
+    np.testing.assert_allclose(
+        np.asarray(pooled), ref.mean(axis=1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_golden_forward_with_mask(tiny_pair):
+    hf, cfg = tiny_pair
+    params = hf_wavlm_to_params(hf.state_dict(), cfg)
+    model = WavLMModel(cfg)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 8000)).astype(np.float32)
+    mask = np.ones((2, 8000), np.int32)
+    mask[1, 5000:] = 0
+    x[1, 5000:] = 0.0
+
+    with torch.no_grad():
+        ref = hf(
+            torch.from_numpy(x), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+    seq, pooled = model.apply(params, jnp.asarray(x), jnp.asarray(mask))
+    seq = np.asarray(seq)
+
+    # compare only valid frames of each sequence
+    valid = int(cfg.feature_lengths(np.array([5000]))[0])
+    err_full = np.abs(seq[0] - ref[0]).max() / (np.abs(ref[0]).max() + 1e-9)
+    err_masked = np.abs(seq[1, :valid] - ref[1, :valid]).max() / (
+        np.abs(ref[1, :valid]).max() + 1e-9
+    )
+    assert err_full < 2e-4 and err_masked < 2e-4
+
+
+def test_golden_base_variant():
+    """Post-LayerNorm / GroupNorm variant (wavlm-base-plus family)."""
+    hf, cfg = make_hf_tiny(stable_layer_norm=False)
+    params = hf_wavlm_to_params(hf.state_dict(), cfg)
+    model = WavLMModel(cfg)
+
+    x = np.random.default_rng(2).standard_normal((2, 6000)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x)).last_hidden_state.numpy()
+    seq, _ = model.apply(params, jnp.asarray(x))
+    err = np.abs(np.asarray(seq) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-4, f"relative error {err}"
+
+
+def test_position_bias_matches_hf(tiny_pair):
+    hf, cfg = tiny_pair
+    from nrse_tpu.ops.rel_pos_bias import compute_position_bias
+
+    attn = hf.encoder.layers[0].attention
+    with torch.no_grad():
+        ref = attn.compute_bias(37, 37).numpy()  # [H, T, T]
+    table = attn.rel_attn_embed.weight.detach().numpy()
+    ours = np.asarray(
+        compute_position_bias(
+            jnp.asarray(table), 37, 37, cfg.num_buckets, cfg.max_bucket_distance
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
