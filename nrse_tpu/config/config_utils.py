@@ -62,6 +62,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--task", type=str, default="both",
                         choices=["categorical", "dimensional", "both"],
                         help="Which emotion recognition task to train")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest checkpoint in "
+                             "checkpoint_dir (rebuild addition; the "
+                             "reference has no resume path)")
     return parser.parse_args(argv)
 
 
@@ -156,5 +160,6 @@ def get_config(argv=None) -> Dict[str, Any]:
     if args.lr is not None:
         config["training"]["learning_rate"] = args.lr
     config["task"] = args.task
+    config["resume"] = bool(getattr(args, "resume", False))
 
     return validate_config(config)

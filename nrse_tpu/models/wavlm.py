@@ -103,17 +103,20 @@ class WavLMConfig:
     @classmethod
     def tiny(cls, **kw) -> "WavLMConfig":
         """Small config for tests (golden comparisons vs HF)."""
+        kw.setdefault("dtype", jnp.float32)
         return cls(
             hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
             intermediate_size=128, conv_dim=(32,) * 3,
             conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
             num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
-            num_buckets=40, max_bucket_distance=100,
-            dtype=jnp.float32, **kw,
+            num_buckets=40, max_bucket_distance=100, **kw,
         )
 
     @classmethod
     def from_model_name(cls, name: str, **kw) -> "WavLMConfig":
+        if "tiny" in name:  # dev/smoke-test runs
+            kw.pop("use_flash_attention", None)
+            return cls.tiny(**kw)
         if "large" in name:
             return cls.large(**kw)
         if "base" in name:

@@ -1,0 +1,105 @@
+"""Device mesh + sharding rules.
+
+The reference is single-GPU (SURVEY.md §2c: no torch.distributed / NCCL /
+DDP anywhere) — parallelism is designed fresh here, TPU-native:
+
+  * **DP (primary)**: a 1-D ``data`` mesh axis; batches are sharded on it,
+    parameters replicated.  Everything else (gradient all-reduce, global
+    BatchNorm statistics for the BYOL heads, metric reductions) falls out of
+    GSPMD: ``jnp`` reductions over the batch axis become ICI collectives
+    automatically.
+  * **TP (available)**: a ``model`` axis shards attention heads and FFN
+    hidden dims of the scanned transformer stack.  WavLM-large (316 M
+    params) fits one chip, so TP is an extension point, not a requirement
+    (SURVEY.md §2c) — but the rules below are real and the multi-chip dry
+    run exercises them.
+  * PP/EP are non-goals for this model family (documented in SURVEY.md);
+    the mesh API leaves room for extra axes.
+
+All sharding is expressed as ``NamedSharding`` constraints consumed by
+``jax.jit`` — XLA inserts the collectives (psum over ``data`` for grads,
+all-gather/reduce-scatter over ``model`` for TP matmuls) and rides ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ``('data', 'model')`` mesh.
+
+    ``data=-1`` consumes all remaining devices (config surface:
+    ``tpu.mesh`` in the YAML presets).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays batch-sharded on the mesh."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel partition rules for the WavLM parameter tree
+# ---------------------------------------------------------------------------
+
+def param_partition_spec(path, leaf) -> P:
+    """PartitionSpec for one WavLM/BYOL parameter leaf by its tree path.
+
+    Megatron-style TP over the scanned transformer stack (leading axis L is
+    the layer axis and is never sharded):
+      * q/k/v projections   ``[L, C, C]``  → shard out-dim (heads) on 'model'
+      * out projection      ``[L, C, C]``  → shard in-dim on 'model'
+      * FFN intermediate    ``[L, C, 4C]`` → shard out-dim on 'model'
+      * FFN output          ``[L, 4C, C]`` → shard in-dim on 'model'
+    Everything else (conv frontend, norms, biases, heads, embeddings) is
+    replicated — they are tiny next to the matmul weights.
+    """
+    keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+    name = keys[-1]
+    joined = "/".join(keys)
+    if name == "kernel" and leaf.ndim == 3:  # stacked [L, in, out]
+        if any(k in joined for k in ("q_proj", "k_proj", "v_proj")):
+            return P(None, None, "model")
+        if "out_proj" in joined:
+            return P(None, "model", None)
+        if "intermediate_dense" in joined:
+            return P(None, None, "model")
+        if "output_dense" in joined and "feed_forward" in joined:
+            return P(None, "model", None)
+    if name == "bias" and leaf.ndim == 2:  # stacked [L, dim]
+        if any(k in joined for k in ("q_proj", "k_proj", "v_proj",
+                                      "intermediate_dense")):
+            return P(None, "model")
+    return P()
+
+
+def byol_param_shardings(mesh: Mesh, tree) -> Any:
+    """NamedSharding tree for any parameter/optimizer pytree."""
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, param_partition_spec(path, leaf))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, tree)

@@ -1,0 +1,47 @@
+"""Optimizers and LR schedules.
+
+Replaces the reference's torch optimizer stack (``train_byol.py:143-150``:
+AdamW(lr=1e-5, wd=1e-5) + per-step CosineAnnealingLR(T_max=total_steps) +
+grad-clip 1.0 at ``train_byol.py:67``) with the optax equivalents.  The
+whole chain runs *inside* the jitted train step — no per-step host work.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def cosine_annealing(base_lr: float, total_steps: int, eta_min: float = 0.0):
+    """torch ``CosineAnnealingLR`` equivalent (per-step, eta_min floor)."""
+    return optax.cosine_decay_schedule(
+        init_value=base_lr,
+        decay_steps=max(1, total_steps),
+        alpha=eta_min / base_lr if base_lr else 0.0,
+    )
+
+
+def make_byol_optimizer(learning_rate, weight_decay: float = 1e-5,
+                        total_steps: int = 0, clip_norm: float = 1.0):
+    """clip-by-global-norm → AdamW with cosine schedule.
+
+    ``learning_rate`` may be a float (constant) or a schedule; when
+    ``total_steps`` > 0 a cosine annealing schedule is built from the float,
+    matching the reference's per-batch ``scheduler.step()``.
+    """
+    schedule = learning_rate
+    if total_steps and not callable(learning_rate):
+        schedule = cosine_annealing(learning_rate, total_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def make_emotion_optimizer(learning_rate, weight_decay: float = 1e-4):
+    """AdamW for the SER trainers (reference ``categorical_emotions.py:84``);
+    the ReduceLROnPlateau behaviour lives host-side in the trainer (it is
+    metric-driven), feeding this optimizer through ``optax.inject_hyperparams``.
+    """
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=learning_rate, weight_decay=weight_decay
+    )

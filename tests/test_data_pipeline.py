@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from nrse_tpu.data.loader import HostDataLoader, PrefetchLoader
+from nrse_tpu.data.noisy_speech_dataset import NoiseRobustSpeechDataset, create_dataloaders
+
+
+@pytest.fixture(scope="module")
+def dataset(tiny_wav_dir):
+    return NoiseRobustSpeechDataset(
+        clean_data_path=str(tiny_wav_dir / "clean"),
+        noise_data_path=str(tiny_wav_dir / "noise"),
+        sample_rate=16000,
+        max_audio_length=1.0,
+        snr_range=[0, 5, 10],
+    )
+
+
+def test_sample_shapes(dataset):
+    item = dataset.sample(0, np.random.default_rng(0))
+    assert item["clean"].shape == (16000,)
+    assert item["noise"].shape == (16000,)
+    assert item["snr"] in (0.0, 5.0, 10.0)
+
+
+def test_host_loader_batches(dataset):
+    loader = HostDataLoader(dataset, np.arange(len(dataset)), batch_size=4,
+                            shuffle=True, seed=1, num_workers=2,
+                            drop_last=True)
+    batches = list(loader)
+    assert len(batches) == len(dataset) // 4 == len(loader)
+    b = batches[0]
+    assert b["clean"].shape == (4, 16000)
+    assert b["snr"].shape == (4,)
+
+
+def test_loader_pads_last_batch(dataset):
+    loader = HostDataLoader(dataset, np.arange(5), batch_size=4,
+                            shuffle=False, num_workers=2, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1]["clean"].shape == (4, 16000)  # padded, static shape
+    assert batches[1]["__count__"] == 1
+
+
+def test_shuffle_reshuffles_across_epochs(dataset, tiny_wav_dir):
+    # snr sampling differs per epoch due to epoch-seeded item rngs
+    loader = HostDataLoader(dataset, np.arange(len(dataset)), batch_size=6,
+                            shuffle=True, seed=3, num_workers=1)
+    e1 = next(iter(loader))["snr"]
+    e2 = next(iter(loader))["snr"]
+    assert not np.array_equal(e1, e2)
+
+
+def test_prefetch_loader_device_put(dataset):
+    import jax
+
+    loader = HostDataLoader(dataset, np.arange(4), batch_size=2,
+                            shuffle=False, num_workers=1)
+    pf = PrefetchLoader(loader, depth=2)
+    out = list(pf)
+    assert len(out) == 2
+    assert isinstance(out[0]["clean"], jax.Array)
+
+
+def test_prefetch_surfaces_worker_errors(dataset):
+    class Broken:
+        def __iter__(self):
+            raise RuntimeError("decode exploded")
+
+        def __len__(self):
+            return 1
+
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(PrefetchLoader(Broken()))
+
+
+def test_create_dataloaders_split(tiny_wav_dir):
+    config = {
+        "data": {
+            "clean_data_path": str(tiny_wav_dir / "clean"),
+            "noise_data_path": str(tiny_wav_dir / "noise"),
+            "sample_rate": 16000,
+            "max_audio_length": 1.0,
+            "snr_range": [0, 5],
+            "validation_ratio": 0.34,
+        },
+        "training": {"batch_size": 2, "num_workers": 2, "seed": 42},
+    }
+    train, val = create_dataloaders(config)
+    assert len(train.indices) == 4 and len(val.indices) == 2
+    assert set(train.indices) | set(val.indices) == set(range(6))
+    assert not set(train.indices) & set(val.indices)

@@ -1,0 +1,192 @@
+"""BYOL pretraining entry point (CLI parity with reference ``train_byol.py``).
+
+Usage:
+    python train_byol.py --config nrse_tpu/config/presets/default_wavlm-large_byol.yaml
+
+Orchestration parity with reference ``train_byol.py:119-245`` (config →
+logger → seed → wandb → dataloaders → model → AdamW + cosine → epoch loop
+with fused validation, early stopping, periodic t-SNE, best/last
+checkpoints), re-built on the TPU-native machinery:
+
+  * ONE jitted train step fuses on-device SNR mixing + both towers +
+    backward + AdamW + EMA with donated buffers.
+  * Data-parallel over a ``('data','model')`` mesh from ``tpu.mesh``; the
+    host pipeline keeps ``tpu.prefetch_depth`` sharded batches in flight.
+  * Orbax checkpoints with true resume (``--resume`` flag; the reference
+    saves optimizer state but cannot reload it).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    from nrse_tpu.config import get_config
+
+    config = get_config(argv)
+
+    import jax
+
+    if config.get("device") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.data.noisy_speech_dataset import create_dataloaders
+    from nrse_tpu.data.loader import PrefetchLoader
+    from nrse_tpu.eval.evaluate_byol import validate_model, visualize_embeddings
+    from nrse_tpu.models.byol import BYOLSpeechModel
+    from nrse_tpu.parallel.mesh import batch_sharding, make_mesh
+    from nrse_tpu.train.byol_trainer import create_train_state, make_byol_train_step
+    from nrse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from nrse_tpu.train.early_stopping import EarlyStopping
+    from nrse_tpu.train.schedules import make_byol_optimizer
+    from nrse_tpu.utils.logging_utils import logger, setup_logger
+    from nrse_tpu.utils.profiling import ThroughputMeter
+    from nrse_tpu.utils.setup_utils import set_seed
+    from nrse_tpu.utils.wandb_utils import get_wandb
+
+    setup_logger(config)
+    root_rng = set_seed(config["training"].get("seed", 42))
+    os.makedirs(config["training"]["checkpoint_dir"], exist_ok=True)
+    os.makedirs(config["training"]["log_dir"], exist_ok=True)
+
+    wandb = get_wandb(config["logging"].get("wandb_mode", "disabled"))
+    wandb.init(project="noise-robust-speech-embeddings", config=config,
+               mode=config["logging"].get("wandb_mode", "disabled"))
+
+    # mesh + data
+    mesh_cfg = config.get("tpu", {}).get("mesh", {"data": -1, "model": 1})
+    mesh = make_mesh(mesh_cfg.get("data", -1), mesh_cfg.get("model", 1))
+    n_chips = len(jax.devices())
+    logger.info(f"mesh: {mesh}; {n_chips} devices")
+
+    batch_size = config["training"]["batch_size"]
+    data_axis = mesh.shape["data"]
+    if batch_size % data_axis != 0:
+        raise ValueError(
+            f"training.batch_size={batch_size} must be divisible by the "
+            f"mesh 'data' axis ({data_axis} devices); adjust batch_size or "
+            f"tpu.mesh in the config"
+        )
+
+    train_loader, val_loader = create_dataloaders(config)
+    bsh = batch_sharding(mesh)
+    prefetch = config.get("tpu", {}).get("prefetch_depth", 2)
+
+    # model + optimizer + state
+    model = BYOLSpeechModel(config)
+    total_steps = len(train_loader) * config["training"]["num_epochs"]
+    optimizer = make_byol_optimizer(
+        config["training"]["learning_rate"],
+        weight_decay=config["training"]["weight_decay"],
+        total_steps=total_steps,
+    )
+    clip_seconds = config["data"]["max_audio_length"]
+    sample = jnp.zeros((batch_size, int(clip_seconds * config["data"]["sample_rate"])))
+    state = create_train_state(model, root_rng, sample, optimizer)
+
+    ckpt_dir = config["training"]["checkpoint_dir"]
+    start_epoch = 0
+    if config.get("resume"):
+        from nrse_tpu.train.checkpoint import latest_checkpoint
+
+        name = latest_checkpoint(ckpt_dir)
+        if name:
+            state, meta = restore_checkpoint(ckpt_dir, name, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            logger.info(f"resumed from {name} at epoch {start_epoch}")
+
+    # explicit placement: replicate train state across the mesh (batches are
+    # sharded on 'data'; GSPMD inserts the grad/BN collectives)
+    from nrse_tpu.parallel.mesh import replicated_sharding
+
+    rsh = replicated_sharding(mesh)
+    state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+
+    train_step = make_byol_train_step(model, optimizer, donate=True)
+
+    metric = config["training"].get("early_stopping_metric", "val_loss")
+    early_stopping = EarlyStopping(
+        patience=config["training"].get("early_stopping_patience", 5),
+        mode="min" if metric == "val_loss" else "max",
+        min_delta=config["training"].get("early_stopping_min_delta", 0.0),
+    )
+
+    best_val_loss, best_val_similarity = float("inf"), 0.0
+    num_epochs = config["training"]["num_epochs"]
+
+    for epoch in range(start_epoch, num_epochs):
+        meter = ThroughputMeter(n_chips=n_chips)
+        epoch_loss, n_steps = 0.0, 0
+        for batch in PrefetchLoader(train_loader, depth=prefetch, sharding=bsh):
+            batch.pop("__count__", None)
+            state, metrics = train_step(state, batch)
+            epoch_loss += float(metrics["loss"])
+            n_steps += 1
+            meter.update(batch_size, clip_seconds)
+        epoch_loss /= max(1, n_steps)
+        throughput = meter.audio_sec_per_sec_per_chip
+
+        val_loss, val_metrics = validate_model(model, state, val_loader, config)
+
+        log_dict = {
+            "epoch": epoch,
+            "train_loss": epoch_loss,
+            "val_loss": val_loss,
+            "val_avg_similarity": val_metrics["val_avg_similarity"],
+            "audio_sec_per_sec_per_chip": throughput,
+            "step_time_s": meter.step_time,
+        }
+        for snr, sim in val_metrics["val_similarities"].items():
+            log_dict[f"val_similarity_snr_{snr}"] = sim
+        wandb.log(log_dict)
+        print(
+            f"Epoch {epoch+1}/{num_epochs} - Train Loss: {epoch_loss:.4f}, "
+            f"Val Loss: {val_loss:.4f}, Val Avg Similarity: "
+            f"{val_metrics['val_avg_similarity']:.4f}, "
+            f"{throughput:.1f} audio-sec/sec/chip"
+        )
+
+        stop_value = val_loss if metric == "val_loss" else \
+            val_metrics["val_avg_similarity"]
+        stop = early_stopping(stop_value)
+
+        viz_every = config["logging"].get("visualization_interval", 2)
+        if (epoch + 1) % viz_every == 0 or epoch == num_epochs - 1:
+            img = f"tsne_embeddings_epoch_{epoch+1}.png"
+            path = visualize_embeddings(
+                model, state, val_loader, config["training"]["log_dir"], img
+            )
+            wandb.log({"embeddings": wandb.Image(path)})
+
+        meta = {
+            "epoch": epoch,
+            "loss": val_loss,
+            "similarity": val_metrics["val_avg_similarity"],
+        }
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            save_checkpoint(ckpt_dir, "best_val_loss", state, meta)
+            print(f"Saved best model checkpoint with validation loss: {best_val_loss:.4f}")
+        if val_metrics["val_avg_similarity"] > best_val_similarity:
+            best_val_similarity = val_metrics["val_avg_similarity"]
+            save_checkpoint(ckpt_dir, "best_val_similarity", state, meta)
+            print(f"Saved best model checkpoint with validation similarity: {best_val_similarity:.4f}")
+        save_checkpoint(ckpt_dir, "last_model", state, meta)
+
+        if stop:
+            print(f"Early stopping triggered after epoch {epoch+1}")
+            break
+
+    wandb.finish()
+    print("Training complete!")
+
+
+if __name__ == "__main__":
+    main()
