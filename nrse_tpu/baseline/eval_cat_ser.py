@@ -1,0 +1,187 @@
+"""List-based timed SER inference (the reference's north-star eval path).
+
+Capability parity with ``baseline/eval_cat_ser_weighted_with_list.py``:
+  * parse semicolon label lists (Odyssey emotion ordering A,S,H,U,F,D,C,N);
+  * z-normalise each waveform with the saved train stats
+    (``train_norm_stat.pkl``, ``:224-231``);
+  * run ssl→pool→ser inference under no-grad, timing
+    **inference-time-per-audio-second** (``:267-270,302,383-385``);
+  * write ``inference_results.csv`` (Filename, one-hot Label, Prediction,
+    ``:332-336``);
+  * report F1-micro/macro, precision, recall, and the weighted-CE
+    ``inference_loss`` (``:356-381``) to ``metrics.txt``.
+
+TPU-native difference: files are grouped into length buckets and batched,
+so inference runs a few compiled shapes at high occupancy instead of one
+py-loop forward per file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nrse_tpu.audio.io import load_audio
+from nrse_tpu.baseline.pipeline import BaselineSER, bucket_length, make_baseline_forward
+from nrse_tpu.baseline.wavset import LogManager, WavNormStats
+from nrse_tpu.labels.parsing import BASELINE_EMOTIONS_MAP, parse_label_list
+from nrse_tpu.models.wavlm import WavLMConfig
+from nrse_tpu.train.losses import ce_weight_category
+from nrse_tpu.utils.logging_utils import logger
+
+
+def load_audio_16k(path: str) -> Optional[np.ndarray]:
+    try:
+        wav, sr = load_audio(path)
+        if wav.shape[0] > 1:
+            wav = wav.mean(axis=0, keepdims=True)
+        if sr != 16000:
+            from nrse_tpu.audio.resample import resample
+
+            wav = resample(wav, sr, 16000)
+        return wav[0].astype(np.float32)
+    except Exception as e:
+        print(f"Error processing file {path}: {e}")
+        return None
+
+
+def run_inference(model_path: str, audio_list: str, audio_dir: str,
+                  output_dir: Optional[str] = None, batch_size: int = 8,
+                  head_dim: int = 1024, model_name: str = "microsoft/wavlm-large",
+                  class_weights: Optional[np.ndarray] = None) -> Dict:
+    """Evaluate a trained baseline pipeline on a semicolon label list."""
+    import jax
+    import jax.numpy as jnp
+
+    from nrse_tpu.train.checkpoint import restore_checkpoint
+
+    output_dir = output_dir or os.path.join(model_path, "results")
+    os.makedirs(output_dir, exist_ok=True)
+
+    stats = WavNormStats.load(os.path.join(model_path, "train_norm_stat.pkl"))
+    entries = parse_label_list(audio_list, audio_dir=audio_dir,
+                               emotion_map=BASELINE_EMOTIONS_MAP)
+    print(f"Loaded {len(entries)} files from list")
+
+    cfg = WavLMConfig.from_model_name(model_name, dtype=jnp.bfloat16
+                                      if jax.default_backend() != "cpu"
+                                      else jnp.float32)
+    model = BaselineSER(cfg, head_dim=head_dim)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)),
+                           jnp.ones((1, 16000)))
+    )["params"]
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    params, _ = restore_checkpoint(model_path, "final_model",
+                                   {"params": template})
+    params = params["params"]
+    forward = make_baseline_forward(model)
+
+    # ---- bucketed batched inference, timed per audio-second -------------
+    lm = LogManager()
+    lm.alloc_stat_type_list(["inference_loss"])
+    loaded = []
+    for e in entries:
+        wav = load_audio_16k(e.path)
+        if wav is None:
+            continue
+        loaded.append((e, stats.apply(wav)))
+
+    buckets: Dict[int, List] = {}
+    for e, wav in loaded:
+        buckets.setdefault(bucket_length(len(wav)), []).append((e, wav))
+
+    inference_time = 0.0
+    audio_seconds = 0.0
+    rows, all_pred, all_y = [], [], []
+    for blen, items in sorted(buckets.items()):
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            n = len(chunk)
+            x = np.zeros((batch_size, blen), np.float32)
+            mask = np.zeros((batch_size, blen), np.float32)
+            for j, (_, wav) in enumerate(chunk):
+                ln = min(len(wav), blen)
+                x[j, :ln] = wav[:ln]
+                mask[j, :ln] = 1.0
+            t0 = time.perf_counter()
+            logits = forward(params, jnp.asarray(x), jnp.asarray(mask))
+            logits = jax.block_until_ready(logits)
+            inference_time += time.perf_counter() - t0
+            audio_seconds += float(mask[:n].sum()) / 16000.0
+            logits = np.asarray(logits, np.float32)[:n]
+            preds = logits.argmax(-1)
+            for (e, _), logit, pred in zip(chunk, logits, preds):
+                one_hot = np.zeros(8, np.float32)
+                if 0 <= e.emotion < 8:
+                    one_hot[e.emotion] = 1.0
+                    all_pred.append(logit)
+                    all_y.append(e.emotion)
+                rows.append({
+                    "Filename": os.path.basename(e.path),
+                    **{f"Label_{k}": one_hot[k] for k in range(8)},
+                    "Prediction": int(pred),
+                })
+
+    import pandas as pd
+
+    results_csv = os.path.join(output_dir, "inference_results.csv")
+    pd.DataFrame(rows).to_csv(results_csv, index=False)
+
+    from sklearn.metrics import f1_score, precision_score, recall_score
+
+    y = np.asarray(all_y)
+    logits = np.asarray(all_pred)
+    preds = logits.argmax(-1)
+    import jax.numpy as jnp2
+
+    w = jnp2.asarray(class_weights) if class_weights is not None else None
+    inference_loss = float(ce_weight_category(
+        jnp2.asarray(logits), jnp2.asarray(y), w
+    ))
+    metrics = {
+        "f1_micro": float(f1_score(y, preds, average="micro")),
+        "f1_macro": float(f1_score(y, preds, average="macro")),
+        "precision_macro": float(precision_score(y, preds, average="macro",
+                                                 zero_division=0)),
+        "recall_macro": float(recall_score(y, preds, average="macro",
+                                           zero_division=0)),
+        "inference_loss": inference_loss,
+        "n_files": int(len(rows)),
+        "n_scored": int(len(y)),
+        "inference_time_s": inference_time,
+        "audio_seconds": audio_seconds,
+        "inference_time_per_audio_second":
+            inference_time / max(audio_seconds, 1e-9),
+    }
+    with open(os.path.join(output_dir, "metrics.txt"), "w") as f:
+        for k, v in metrics.items():
+            f.write(f"{k}: {v}\n")
+    print(json.dumps(metrics, indent=2))
+    print(f"Inference time per audio second: "
+          f"{metrics['inference_time_per_audio_second']:.6f}")
+    return metrics
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--audio_list", required=True)
+    parser.add_argument("--audio_dir", default="")
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--head_dim", type=int, default=1024)
+    parser.add_argument("--model_name", default="microsoft/wavlm-large")
+    args = parser.parse_args(argv)
+    return run_inference(args.model_path, args.audio_list, args.audio_dir,
+                         args.output_dir, args.batch_size, args.head_dim,
+                         args.model_name)
+
+
+if __name__ == "__main__":
+    main()

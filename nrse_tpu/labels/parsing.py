@@ -227,6 +227,46 @@ def base_filename_candidates(filename: str) -> List[str]:
     return candidates
 
 
+def reformat_lists_to_onehot_csv(list_paths: Sequence[str],
+                                 consensus_csv: Optional[str],
+                                 out_csv: str,
+                                 preserve_path: bool = False) -> int:
+    """Semicolon label lists → baseline one-hot CSV with Split_Set lookup.
+
+    Equivalent of ``labels/processed/reformat_txt_baseline_gt.py:61-139``:
+    each list row becomes ``FileName, A,S,H,U,F,D,C,N [, Split_Set]``
+    (Odyssey column order); augmented ``_snrN_`` names resolve their
+    Split_Set via the base-name candidates against the consensus CSV.
+    Returns rows written.
+    """
+    import pandas as pd
+
+    split_lookup = {}
+    if consensus_csv:
+        gt = pd.read_csv(consensus_csv)
+        if "Split_Set" in gt.columns:
+            split_lookup = dict(zip(gt["FileName"], gt["Split_Set"]))
+
+    rows = []
+    for list_path in list_paths:
+        for e in parse_label_list(list_path, emotion_map=BASELINE_EMOTIONS_MAP):
+            one_hot = emotion_to_one_hot(e.emo_class)
+            split = None
+            for cand in base_filename_candidates(e.path):
+                split = split_lookup.get(os.path.basename(cand))
+                if split is not None:
+                    break
+            name = e.path if preserve_path else os.path.basename(e.path)
+            row = {"FileName": name}
+            row.update({code: one_hot[i]
+                        for code, i in BASELINE_EMOTIONS_MAP.items()})
+            if split_lookup:
+                row["Split_Set"] = split
+            rows.append(row)
+    pd.DataFrame(rows).to_csv(out_csv, index=False)
+    return len(rows)
+
+
 def emotion_to_one_hot(emo_class: str,
                        emotion_map: Optional[Dict[str, int]] = None,
                        num_classes: int = 8) -> np.ndarray:

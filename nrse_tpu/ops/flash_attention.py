@@ -1,0 +1,416 @@
+"""Blockwise Pallas TPU flash attention with WavLM's gated relative
+position bias (forward + backward).
+
+Why a custom kernel (vs XLA attention in ``ops/attention.py``):
+  * The reference's attention materialises per-layer ``[B·H, T, T]`` score
+    and probability tensors (HF WavLM via torch MHA); under a scanned
+    24-layer stack the saved probabilities alone are
+    ``f32[24, B, H, T, T]`` — 3.4 GB at batch 36 — which OOMs a v5e chip.
+    This kernel streams K/V blocks with an online softmax and saves only
+    ``out`` + per-row logsumexp, recomputing probabilities in the backward:
+    O(T) memory per row instead of O(T²).
+  * WavLM's bias is *factored*: ``bias[b,h,q,k] = gate[b,h,q] ·
+    pos_bias[h,q,k]``.  The kernel consumes the factors and forms the bias
+    per VMEM block, so the gated ``[B,H,T,T]`` tensor never exists in HBM —
+    in any dtype, in either pass.
+
+Layout: padded to 128-aligned T; grid over (batch, head, q-block) for the
+forward and dq, (batch, head, k-block) for dk/dv; K/V live whole in VMEM
+per (b, h) — fine up to several-thousand-frame sequences (T·D·4 B each),
+and the block sizes are parameters for longer audio.
+
+Numerics: scores/softmax in f32, matmuls via MXU with
+``preferred_element_type=f32``; key-padding enters as an additive 0/-1e9
+row so fully-padded rows stay finite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+LANE = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
+                o_ref, lse_ref, *, block_k: int, scale: float):
+    # q: [BQ, D]; k/v: [T, D]; gate: [BQ]; bias: [BQ, T]; madd: [T]
+    t = k_ref.shape[0]
+    bq, d = q_ref.shape
+    nk = t // block_k
+
+    q = q_ref[:].astype(jnp.float32) * scale
+    gate = gate_ref[:].astype(jnp.float32)[:, None]
+
+    def body(ik, carry):
+        m_prev, l_prev, acc = carry
+        ks = ik * block_k
+        k = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        s += gate * bias_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
+        s += madd_ref[pl.ds(ks, block_k)].astype(jnp.float32)[None, :]
+
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        v = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_cur, l_cur, acc
+
+    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[:] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[:] = (m + jnp.log(l_safe)).astype(jnp.float32)
+
+
+def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
+         interpret: bool):
+    b, h, t, d = q.shape
+    nq = t // block_q
+    grid = (b, h, nq)
+    kernel = functools.partial(
+        _fwd_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), lambda b_, h_, i: (b_, h_, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, t), lambda b_, h_, i: (h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t), lambda b_, h_, i: (b_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), lambda b_, h_, i: (b_, h_, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, gate, pos_bias, mask_add)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward: dq, dgate, dpos_bias  (grid: head, q-block, batch-innermost so
+# the dpos_bias block accumulates over contiguous grid steps)
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
+                   v_ref, lse_ref, delta_ref,
+                   dq_ref, dgate_ref, dbias_ref, *, block_k: int,
+                   scale: float):
+    t = k_ref.shape[0]
+    bq, d = q_ref.shape
+    nk = t // block_k
+    nb = pl.num_programs(2)
+    ib = pl.program_id(2)
+
+    q = q_ref[:].astype(jnp.float32) * scale
+    gate = gate_ref[:].astype(jnp.float32)[:, None]
+    lse = lse_ref[:].astype(jnp.float32)[:, None]
+    delta = delta_ref[:].astype(jnp.float32)[:, None]
+    do = do_ref[:].astype(jnp.float32)
+
+    @pl.when(ib == 0)
+    def _():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    def body(ik, carry):
+        dq_acc, dgate_acc = carry
+        ks = ik * block_k
+        k = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        bias = bias_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s += gate * bias
+        s += madd_ref[pl.ds(ks, block_k)].astype(jnp.float32)[None, :]
+        p = jnp.exp(s - lse)
+        v = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)  # [BQ, BK]
+        dq_acc += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dgate_acc += jnp.sum(ds * bias, axis=1)
+        dbias_ref[:, pl.ds(ks, block_k)] += (gate * ds).astype(
+            dbias_ref.dtype
+        )
+        return dq_acc, dgate_acc
+
+    dq0 = jnp.zeros((bq, d), jnp.float32)
+    dg0 = jnp.zeros((bq,), jnp.float32)
+    dq, dgate = jax.lax.fori_loop(0, nk, body, (dq0, dg0))
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dgate_ref[:] = dgate.astype(dgate_ref.dtype)
+
+
+def _bwd_dq(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
+            block_q: int, block_k: int, interpret: bool):
+    b, h, t, d = q.shape
+    nq = t // block_q
+    grid = (h, nq, b)  # batch innermost: dbias block accumulates contiguously
+    kernel = functools.partial(
+        _bwd_dq_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
+    )
+
+    def qb(h_, i, b_):
+        return (b_, h_, i, 0)
+
+    dq, dgate, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), lambda h_, i, b_: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, t), lambda h_, i, b_: (h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t), lambda h_, i, b_: (b_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), lambda h_, i, b_: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, t), lambda h_, i, b_: (h_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t), jnp.float32),
+            jax.ShapeDtypeStruct((h, t, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, gate, pos_bias, mask_add, do, v, lse, delta)
+    return dq, dgate, dbias
+
+
+# ---------------------------------------------------------------------------
+# backward: dk, dv  (grid: batch, head, k-block; q streamed)
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
+                    do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, scale: float):
+    t = q_ref.shape[0]
+    bk, d = k_ref.shape
+    nq = t // block_q
+
+    k = k_ref[:].astype(jnp.float32)
+    madd = madd_ref[:].astype(jnp.float32)[None, :]  # [1, BK]
+
+    def body(iq, carry):
+        dk_acc, dv_acc = carry
+        qs = iq * block_q
+        q = q_ref[pl.ds(qs, block_q), :].astype(jnp.float32) * scale
+        gate = gate_ref[pl.ds(qs, block_q)].astype(jnp.float32)[:, None]
+        bias = bias_ref[pl.ds(qs, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(qs, block_q)].astype(jnp.float32)[:, None]
+        delta = delta_ref[pl.ds(qs, block_q)].astype(jnp.float32)[:, None]
+        do = do_ref[pl.ds(qs, block_q), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s += gate * bias + madd
+        p = jnp.exp(s - lse)  # [BQ, BK]
+        dv_acc += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v = v_ref[:].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk_acc += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # q already carries `scale`
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dkv(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
+             block_q: int, block_k: int, interpret: bool):
+    b, h, t, d = q.shape
+    nk = t // block_k
+    grid = (b, h, nk)
+    kernel = functools.partial(
+        _bwd_dkv_kernel, block_q=block_q, scale=1.0 / (d ** 0.5)
+    )
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t), lambda b_, h_, i: (b_, h_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t, block_k), lambda b_, h_, i: (h_, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k), lambda b_, h_, i: (b_, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t), lambda b_, h_, i: (b_, h_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t), lambda b_, h_, i: (b_, h_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, gate, pos_bias, mask_add, do, lse, delta)
+    return dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _flash_core(q, k, v, gate, pos_bias, mask_add, block_q, block_k):
+    out, _ = _fwd(q, k, v, gate, pos_bias, mask_add,
+                  block_q=block_q, block_k=block_k,
+                  interpret=_interpret())
+    return out
+
+
+def _flash_core_fwd(q, k, v, gate, pos_bias, mask_add, block_q, block_k):
+    out, lse = _fwd(q, k, v, gate, pos_bias, mask_add,
+                    block_q=block_q, block_k=block_k,
+                    interpret=_interpret())
+    return out, (q, k, v, gate, pos_bias, mask_add, out, lse)
+
+
+def _flash_core_bwd(block_q, block_k, res, g):
+    q, k, v, gate, pos_bias, mask_add, out, lse = res
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    interp = _interpret()
+    dq, dgate, dbias = _bwd_dq(
+        q, k, v, gate, pos_bias, mask_add, g, lse, delta,
+        block_q=block_q, block_k=block_k, interpret=interp,
+    )
+    dk, dv = _bwd_dkv(
+        q, k, v, gate, pos_bias, mask_add, g, lse, delta,
+        block_q=block_q, block_k=block_k, interpret=interp,
+    )
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dgate.astype(gate.dtype), dbias.astype(pos_bias.dtype),
+            jnp.zeros_like(mask_add))
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def flash_gated_attention(q, k, v, gate, pos_bias,
+                          key_padding_mask: Optional[jnp.ndarray] = None,
+                          block_q: int = 128, block_k: int = 128):
+    """Drop-in replacement for ``ops.attention.gated_bias_attention``.
+
+    Args:
+      q, k, v: ``[B, H, T, D]``; gate: ``[B, H, T]``; pos_bias ``[H, T, T]``;
+      key_padding_mask: optional ``[B, T]`` (1 = valid).
+    Returns ``[B, H, T, D]`` in v's dtype.
+    """
+    b, h, t, d = q.shape
+    t_pad = _ceil_to(max(t, block_q), block_q)
+    block_q = min(block_q, t_pad)
+    block_k = min(block_k, t_pad)
+    pad_t = t_pad - t
+
+    if key_padding_mask is None:
+        valid = jnp.ones((b, t), bool)
+    else:
+        valid = key_padding_mask.astype(bool)
+    if pad_t:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        gate = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_t)))
+        pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_t), (0, pad_t)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_t)))
+    mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    out = _flash_core(q, k, v, gate, pos_bias.astype(jnp.float32),
+                      mask_add, block_q, block_k)
+    if pad_t:
+        out = out[:, :, :t, :]
+    return out

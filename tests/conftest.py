@@ -36,6 +36,54 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def mock_msp_dir(tmp_path_factory, rng):
+    """Mini MSP-Podcast-like corpus: consensus CSV + WAVs + noise dir."""
+    import pandas as pd
+
+    from nrse_tpu.audio.io import save_wav
+
+    d = tmp_path_factory.mktemp("msp")
+    audio = d / "Audios"
+    noise = d / "noise"
+    audio.mkdir()
+    noise.mkdir()
+    sr = 16000
+    rows = []
+    classes = ["A", "H", "S", "N", "N", "H", "X", "N"]
+    splits = ["Development"] * 7 + ["Test1"]
+    for i, (c, s) in enumerate(zip(classes, splits)):
+        name = f"MSP-PODCAST_{1000+i}_{i:04d}.wav"
+        dur = rng.uniform(0.4, 1.4)
+        t = np.arange(int(sr * dur)) / sr
+        x = 0.4 * np.sin(2 * np.pi * rng.uniform(90, 350) * t)
+        x += 0.05 * rng.standard_normal(t.shape)
+        save_wav(str(audio / name), x.astype(np.float32), sr)
+        rows.append({
+            "FileName": name, "EmoClass": c,
+            "EmoAct": rng.uniform(1, 7), "EmoVal": rng.uniform(1, 7),
+            "EmoDom": rng.uniform(1, 7), "Split_Set": s,
+            "SpkrID": 100 + i, "Gender": "Female" if i % 2 else "Male",
+        })
+    # extra Test1 rows so val split has >1 batch worth
+    for i in range(8, 12):
+        name = f"MSP-PODCAST_{1000+i}_{i:04d}.wav"
+        t = np.arange(int(sr * 0.8)) / sr
+        x = 0.3 * np.sin(2 * np.pi * 200 * t) + 0.05 * rng.standard_normal(t.shape)
+        save_wav(str(audio / name), x.astype(np.float32), sr)
+        rows.append({
+            "FileName": name, "EmoClass": ["A", "H", "S", "N"][i - 8],
+            "EmoAct": rng.uniform(1, 7), "EmoVal": rng.uniform(1, 7),
+            "EmoDom": rng.uniform(1, 7), "Split_Set": "Test1",
+            "SpkrID": 200, "Gender": "Male",
+        })
+    for i in range(2):
+        save_wav(str(noise / f"noise_{i}.wav"),
+                 (0.2 * rng.standard_normal(sr)).astype(np.float32), sr)
+    pd.DataFrame(rows).to_csv(d / "labels_consensus.csv", index=False)
+    return d
+
+
+@pytest.fixture(scope="session")
 def tiny_wav_dir(tmp_path_factory, rng):
     """Directory of tiny random speech-like WAVs (mock corpus fixture).
 

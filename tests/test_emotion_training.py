@@ -1,0 +1,147 @@
+"""End-to-end SER trainer tests on the mock MSP corpus (tiny encoder)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def emo_config(mock_msp_dir, tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("emo_ckpt")
+    return {
+        "model": {"name": "wavlm-tiny", "projection_dim": 32,
+                  "prediction_dim": 64, "ema_decay": 0.99},
+        "training": {"batch_size": 4, "num_workers": 2, "seed": 42,
+                     "log_dir": str(ckpt / "logs")},
+        "data": {
+            "noise_data_path": str(mock_msp_dir / "noise"),
+            "sample_rate": 16000, "max_audio_length": 1.0,
+            "snr_range": [5, 10], "validation_ratio": 0.2,
+        },
+        "logging": {"wandb_mode": "disabled", "level": "ERROR",
+                    "console_level": "ERROR"},
+        "emotion": {
+            "labels_file": str(mock_msp_dir / "labels_consensus.csv"),
+            "audio_dir": str(mock_msp_dir / "Audios"),
+            "encoder_checkpoint": None,
+            "checkpoint_dir": str(ckpt / "cat"),
+            "train_dataset_split": "Development",
+            "validataion_dataset_split": "Test1",
+            "hidden_dim": 32, "batch_size": 4, "learning_rate": 1e-3,
+            "fine_tuning_lr": 1e-4, "scheduler_patience": 2,
+            "weight_decay": 1e-4, "dropout_rate": 0.1,
+            "classifier_epochs": 2, "fine_tuning_epochs": 1, "patience": 5,
+            "unfreeze_encoder": True, "add_noise_during_training": True,
+            "use_class_weights": True, "categorical_only": True,
+        },
+        "tpu": {"compute_dtype": "float32", "flash_attention": False},
+    }
+
+
+def test_emotion_dataset_items(mock_msp_dir):
+    from nrse_tpu.data.emotion_dataset import EmotionDataset
+
+    ds = EmotionDataset(
+        labels_file=str(mock_msp_dir / "labels_consensus.csv"),
+        audio_dir=str(mock_msp_dir / "Audios"),
+        split="Development", max_audio_length=1.0,
+        categorical_only=True,
+    )
+    # 7 Development rows, one is X → filtered with categorical_only
+    assert len(ds) == 6
+    item = ds.sample(0, np.random.default_rng(0))
+    assert item["input_values"].shape == (16000,)
+    assert item["attention_mask"].shape == (16000,)
+    assert 0 <= item["C"] < 8
+    # mask reflects true audio length (files are < 1 s → padded)
+    assert 0 < item["attention_mask"].sum() <= 16000
+
+
+def test_emotion_dataset_keeps_invalid_when_not_categorical_only(mock_msp_dir):
+    from nrse_tpu.data.emotion_dataset import EmotionDataset
+
+    ds = EmotionDataset(
+        labels_file=str(mock_msp_dir / "labels_consensus.csv"),
+        audio_dir=str(mock_msp_dir / "Audios"),
+        split="Development", max_audio_length=1.0,
+        categorical_only=False,
+    )
+    assert len(ds) == 7  # X row kept (mapped to 8)
+
+
+def test_categorical_trainer_two_phase(emo_config):
+    import copy
+
+    from nrse_tpu.train.categorical_emotions import train_categorical_emotions
+
+    result = train_categorical_emotions(copy.deepcopy(emo_config))
+    assert 0.0 <= result["best_f1"] <= 1.0
+    import os
+
+    ck = emo_config["emotion"]["checkpoint_dir"]
+    assert os.path.isdir(os.path.join(ck, "best_classifier_model"))
+    assert os.path.isdir(os.path.join(ck, "best_fine_tuned_model"))
+    assert os.path.exists(os.path.join(
+        emo_config["training"]["log_dir"], "val_confusion_matrix.png"))
+
+
+def test_dimensional_trainer(emo_config, tmp_path):
+    import copy
+
+    from nrse_tpu.train.dimentional_emotions import train_dimensional_emotions
+
+    cfg = copy.deepcopy(emo_config)
+    cfg["emotion"]["checkpoint_dir"] = str(tmp_path / "dim")
+    cfg["emotion"]["unfreeze_encoder"] = False
+    result = train_dimensional_emotions(cfg)
+    assert -1.0 <= result["best_ccc"] <= 1.0
+    import os
+
+    assert os.path.exists(os.path.join(
+        cfg["training"]["log_dir"], "val_scatter_arousal.png"))
+
+
+def test_gradual_unfreeze_schedule():
+    from nrse_tpu.models.emotion import gradually_unfrozen_layers
+
+    # reference: layers from total*(1-(e+1)/E) upward (top-down)
+    assert gradually_unfrozen_layers(0, 10, 24) == list(range(21, 24))
+    assert gradually_unfrozen_layers(9, 10, 24) == list(range(0, 24))
+    assert gradually_unfrozen_layers(0, 1, 24) == list(range(0, 24))
+
+
+def test_layer_gradient_gating(emo_config):
+    """Frozen encoder: encoder grads zero, head grads nonzero."""
+    from nrse_tpu.models.emotion import (
+        EmotionClassifier,
+        apply_layer_unfreeze_to_grads,
+        layer_gradient_scale,
+    )
+    from nrse_tpu.models.wavlm import WavLMConfig
+
+    cfg = WavLMConfig.tiny(layerdrop=0.0)
+    model = EmotionClassifier(cfg, hidden_dim=32, num_emotions=8)
+    x = jnp.zeros((2, 8000))
+    mask = jnp.ones((2, 8000))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, mask)["params"]
+    grads = jax.tree.map(jnp.ones_like, params)
+    gated = apply_layer_unfreeze_to_grads(
+        grads, layer_gradient_scale(cfg.num_hidden_layers, [])
+    )
+    assert float(jnp.abs(jax.tree.leaves(
+        {"k": gated["encoder"]})[0]).max()) == 0.0
+    assert all(
+        float(jnp.abs(leaf).max()) == 1.0
+        for leaf in jax.tree.leaves(gated["categorical_out"])
+    )
+    # partial unfreeze: stacked layer grads survive only at unfrozen indices
+    gated2 = apply_layer_unfreeze_to_grads(
+        grads, layer_gradient_scale(cfg.num_hidden_layers, [1])
+    )
+    stacked = jax.tree.leaves(
+        gated2["encoder"]["encoder"]["layers"]
+    )[0]
+    assert float(jnp.abs(stacked[0]).max()) == 0.0
+    assert float(jnp.abs(stacked[1]).max()) == 1.0
