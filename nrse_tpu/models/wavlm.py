@@ -481,6 +481,25 @@ class WavLMModel(nn.Module):
         return hidden, pooled
 
 
+def smoke_test(variant: str = "tiny", batch: int = 2,
+               seconds: float = 1.0) -> bool:
+    """Dummy-batch forward + NaN/Inf check (parity with the reference's
+    encoder smoke test, ``src/models/encoder.py:34-64``)."""
+    import numpy as np
+
+    cfg = WavLMConfig.from_model_name(variant) if variant != "tiny" \
+        else WavLMConfig.tiny()
+    model = WavLMModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, int(16000 * seconds)))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x)
+    seq, pooled = model.apply(variables, x)
+    print("Embeddings shape:", seq.shape, "pooled:", pooled.shape)
+    ok = bool(jnp.isfinite(seq).all() and jnp.isfinite(pooled).all())
+    print("Embeddings are numerically stable." if ok
+          else "Warning: embeddings contain NaN/Inf values!")
+    return ok
+
+
 def _sample_time_mask(rng, batch, length, prob, span, min_masks):
     """Vectorised SpecAugment span sampling ([B, T] boolean).
 
@@ -496,3 +515,9 @@ def _sample_time_mask(rng, batch, length, prob, span, min_masks):
     idx = jnp.arange(length)[None, None, :]
     in_span = (idx >= starts[..., None]) & (idx < starts[..., None] + span)
     return jnp.any(in_span, axis=1)
+
+
+if __name__ == "__main__":
+    import sys
+
+    smoke_test(sys.argv[1] if len(sys.argv) > 1 else "tiny")

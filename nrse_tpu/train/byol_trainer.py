@@ -135,6 +135,9 @@ def make_byol_train_step(
             "loss": loss,
             "grad_norm": grad_norm,
             "valid_fraction": jnp.mean(valid.astype(jnp.float32)),
+            # on-device health flag (replaces the reference's per-batch host
+            # NaN sweeps, debugging_utils.py:4-30 / train_byol.py:52-59)
+            "finite": jnp.isfinite(loss) & jnp.isfinite(grad_norm),
         }
         return new_state, metrics
 

@@ -93,6 +93,7 @@ def main(argv=None):
 
     ckpt_dir = config["training"]["checkpoint_dir"]
     start_epoch = 0
+    resumed_best = {}
     if config.get("resume"):
         from nrse_tpu.train.checkpoint import latest_checkpoint
 
@@ -100,6 +101,7 @@ def main(argv=None):
         if name:
             state, meta = restore_checkpoint(ckpt_dir, name, state)
             start_epoch = int(meta.get("epoch", -1)) + 1
+            resumed_best = meta.get("best", {})
             logger.info(f"resumed from {name} at epoch {start_epoch}")
 
     # explicit placement: replicate train state across the mesh (batches are
@@ -118,7 +120,8 @@ def main(argv=None):
         min_delta=config["training"].get("early_stopping_min_delta", 0.0),
     )
 
-    best_val_loss, best_val_similarity = float("inf"), 0.0
+    best_val_loss = resumed_best.get("val_loss", float("inf"))
+    best_val_similarity = resumed_best.get("val_similarity", 0.0)
     num_epochs = config["training"]["num_epochs"]
 
     for epoch in range(start_epoch, num_epochs):
@@ -169,6 +172,11 @@ def main(argv=None):
             "epoch": epoch,
             "loss": val_loss,
             "similarity": val_metrics["val_avg_similarity"],
+            "best": {
+                "val_loss": min(best_val_loss, val_loss),
+                "val_similarity": max(best_val_similarity,
+                                      val_metrics["val_avg_similarity"]),
+            },
         }
         if val_loss < best_val_loss:
             best_val_loss = val_loss
