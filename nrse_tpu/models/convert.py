@@ -144,6 +144,83 @@ def hf_wavlm_to_params(state_dict: Mapping[str, Any],
     return {"params": p}
 
 
+def _torch_bn(sd: Mapping[str, Any], prefix: str):
+    """torch BatchNorm1d → (params {scale,bias}, stats {mean,var})."""
+    return (
+        {"scale": _np(sd[f"{prefix}.weight"]),
+         "bias": _np(sd[f"{prefix}.bias"])},
+        {"mean": _np(sd[f"{prefix}.running_mean"]),
+         "var": _np(sd[f"{prefix}.running_var"])},
+    )
+
+
+def _projection_head(sd: Mapping[str, Any], prefix: str):
+    """torch Sequential [Linear, BN, ReLU, Linear, BN]
+    (multi_layer_heads.py:4-24) → our ProjectionHead trees."""
+    params, stats = {}, {}
+    params["dense_0"] = _linear(sd, f"{prefix}.layers.0")
+    params["bn_0"], stats["bn_0"] = _torch_bn(sd, f"{prefix}.layers.1")
+    params["dense_1"] = _linear(sd, f"{prefix}.layers.3")
+    params["bn_1"], stats["bn_1"] = _torch_bn(sd, f"{prefix}.layers.4")
+    return params, stats
+
+
+def _prediction_head(sd: Mapping[str, Any], prefix: str):
+    """torch Sequential [Linear, BN, ReLU, Linear, BN, ReLU, Linear]
+    (multi_layer_heads.py:27-48) → our PredictionHead trees."""
+    params, stats = {}, {}
+    params["dense_0"] = _linear(sd, f"{prefix}.layers.0")
+    params["bn_0"], stats["bn_0"] = _torch_bn(sd, f"{prefix}.layers.1")
+    params["dense_1"] = _linear(sd, f"{prefix}.layers.3")
+    params["bn_1"], stats["bn_1"] = _torch_bn(sd, f"{prefix}.layers.4")
+    params["dense_2"] = _linear(sd, f"{prefix}.layers.6")
+    return params, stats
+
+
+def reference_byol_to_variables(state_dict: Mapping[str, Any],
+                                config: WavLMConfig):
+    """Full bridge: a reference ``BYOLSpeechModel`` torch state dict (the
+    ``model_state_dict`` inside its ``.pt`` checkpoints,
+    ``train_byol.py:207-240``) → our ``BYOLVariables``.
+
+    Handles the ``online_encoder.model.*`` prefix stripping and weight-norm
+    key remap the reference's own bridge performs
+    (``baseline/train_ft_cat_ser_weighted_checkpoint.py:138-160``), plus the
+    BYOL heads including BatchNorm running statistics.
+    """
+    from nrse_tpu.models.byol import BYOLVariables
+
+    def tower(encoder_prefix, projector_prefix, predictor_prefix=None):
+        enc = hf_wavlm_to_params(
+            strip_prefix(state_dict, f"{encoder_prefix}.model."), config
+        )["params"]
+        proj_p, proj_s = _projection_head(state_dict, projector_prefix)
+        params = {"encoder": enc, "projector": proj_p}
+        stats = {"projector": proj_s}
+        if predictor_prefix is not None:
+            pred_p, pred_s = _prediction_head(state_dict, predictor_prefix)
+            params["predictor"] = pred_p
+            stats["predictor"] = pred_s
+        return {"params": params, "batch_stats": stats}
+
+    online = tower("online_encoder", "online_projector", "online_predictor")
+    target = tower("target_encoder", "target_projector")
+    return BYOLVariables(online=online, target=target)
+
+
+def load_reference_byol_checkpoint(path: str, config: WavLMConfig):
+    """Load a reference ``.pt`` BYOL checkpoint file → ``BYOLVariables``.
+
+    Accepts both the full checkpoint dict ({epoch, model_state_dict,
+    optimizer_state_dict, loss, similarity} — ``train_byol.py:207-240``) and
+    a bare state dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return reference_byol_to_variables(sd, config)
+
+
 def load_hf_wavlm(model_name_or_path: str, config: WavLMConfig):
     """Instantiate/load an HF WavLM (torch, host) and convert.
 

@@ -48,13 +48,15 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
                 o_ref, lse_ref, *, block_k: int, scale: float):
-    # q: [BQ, D]; k/v: [T, D]; gate: [BQ]; bias: [BQ, T]; madd: [T]
+    # q: [BQ, D]; k/v: [T, D]; gate: [BQ, 1]; bias: [BQ, T]; madd: [1, T]
+    # (per-row vectors carry a trailing unit dim — TPU blocks need two
+    # real trailing dims)
     t = k_ref.shape[0]
     bq, d = q_ref.shape
     nk = t // block_k
 
     q = q_ref[:].astype(jnp.float32) * scale
-    gate = gate_ref[:].astype(jnp.float32)[:, None]
+    gate = gate_ref[:].astype(jnp.float32)  # [BQ, 1]
 
     def body(ik, carry):
         m_prev, l_prev, acc = carry
@@ -65,26 +67,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
         s += gate * bias_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
-        s += madd_ref[pl.ds(ks, block_k)].astype(jnp.float32)[None, :]
+        s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
 
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])
-        l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        p = jnp.exp(s - m_cur)
+        l_cur = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
+        acc = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_cur, l_cur, acc
 
-    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
 
     l_safe = jnp.maximum(l, 1e-30)
-    o_ref[:] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    o_ref[:] = (acc / l_safe).astype(o_ref.dtype)
     lse_ref[:] = (m + jnp.log(l_safe)).astype(jnp.float32)
 
 
@@ -106,22 +108,24 @@ def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q), lambda b_, h_, i: (b_, h_, i),
+            pl.BlockSpec((None, None, block_q, 1),
+                         lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, t), lambda b_, h_, i: (h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t), lambda b_, h_, i: (b_, 0),
+            pl.BlockSpec((None, 1, t), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((None, None, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q), lambda b_, h_, i: (b_, h_, i),
+            pl.BlockSpec((None, None, block_q, 1),
+                         lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, t), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, gate, pos_bias, mask_add)
@@ -144,9 +148,9 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
     ib = pl.program_id(2)
 
     q = q_ref[:].astype(jnp.float32) * scale
-    gate = gate_ref[:].astype(jnp.float32)[:, None]
-    lse = lse_ref[:].astype(jnp.float32)[:, None]
-    delta = delta_ref[:].astype(jnp.float32)[:, None]
+    gate = gate_ref[:].astype(jnp.float32)   # [BQ, 1]
+    lse = lse_ref[:].astype(jnp.float32)     # [BQ, 1]
+    delta = delta_ref[:].astype(jnp.float32) # [BQ, 1]
     do = do_ref[:].astype(jnp.float32)
 
     @pl.when(ib == 0)
@@ -163,7 +167,7 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
             preferred_element_type=jnp.float32,
         )
         s += gate * bias
-        s += madd_ref[pl.ds(ks, block_k)].astype(jnp.float32)[None, :]
+        s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
         p = jnp.exp(s - lse)
         v = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
         dp = jax.lax.dot_general(
@@ -175,14 +179,14 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        dgate_acc += jnp.sum(ds * bias, axis=1)
+        dgate_acc += jnp.sum(ds * bias, axis=1, keepdims=True)
         dbias_ref[:, pl.ds(ks, block_k)] += (gate * ds).astype(
             dbias_ref.dtype
         )
         return dq_acc, dgate_acc
 
     dq0 = jnp.zeros((bq, d), jnp.float32)
-    dg0 = jnp.zeros((bq,), jnp.float32)
+    dg0 = jnp.zeros((bq, 1), jnp.float32)
     dq, dgate = jax.lax.fori_loop(0, nk, body, (dq0, dg0))
     dq_ref[:] = dq.astype(dq_ref.dtype)
     dgate_ref[:] = dgate.astype(dgate_ref.dtype)
@@ -207,30 +211,34 @@ def _bwd_dq(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
             pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, t, d), lambda h_, i, b_: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+            pl.BlockSpec((None, None, block_q, 1),
+                         lambda h_, i, b_: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, t), lambda h_, i, b_: (h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t), lambda h_, i, b_: (b_, 0),
+            pl.BlockSpec((None, 1, t), lambda h_, i, b_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, t, d), lambda h_, i, b_: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+            pl.BlockSpec((None, None, block_q, 1),
+                         lambda h_, i, b_: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+            pl.BlockSpec((None, None, block_q, 1),
+                         lambda h_, i, b_: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q), lambda h_, i, b_: (b_, h_, i),
+            pl.BlockSpec((None, None, block_q, 1),
+                         lambda h_, i, b_: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, t), lambda h_, i, b_: (h_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, t), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
             jax.ShapeDtypeStruct((h, t, t), jnp.float32),
         ],
         interpret=interpret,
@@ -250,16 +258,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
     nq = t // block_q
 
     k = k_ref[:].astype(jnp.float32)
-    madd = madd_ref[:].astype(jnp.float32)[None, :]  # [1, BK]
+    madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
 
     def body(iq, carry):
         dk_acc, dv_acc = carry
         qs = iq * block_q
         q = q_ref[pl.ds(qs, block_q), :].astype(jnp.float32) * scale
-        gate = gate_ref[pl.ds(qs, block_q)].astype(jnp.float32)[:, None]
+        gate = gate_ref[pl.ds(qs, block_q), :].astype(jnp.float32)   # [BQ,1]
         bias = bias_ref[pl.ds(qs, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(qs, block_q)].astype(jnp.float32)[:, None]
-        delta = delta_ref[pl.ds(qs, block_q)].astype(jnp.float32)[:, None]
+        lse = lse_ref[pl.ds(qs, block_q), :].astype(jnp.float32)     # [BQ,1]
+        delta = delta_ref[pl.ds(qs, block_q), :].astype(jnp.float32) # [BQ,1]
         do = do_ref[pl.ds(qs, block_q), :].astype(jnp.float32)
 
         s = jax.lax.dot_general(
@@ -309,17 +317,20 @@ def _bwd_dkv(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t), lambda b_, h_, i: (b_, h_, 0),
+            pl.BlockSpec((None, None, t, 1),
+                         lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, t, block_k), lambda b_, h_, i: (h_, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k), lambda b_, h_, i: (b_, i),
+            pl.BlockSpec((None, 1, block_k), lambda b_, h_, i: (b_, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t), lambda b_, h_, i: (b_, h_, 0),
+            pl.BlockSpec((None, None, t, 1),
+                         lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t), lambda b_, h_, i: (b_, h_, 0),
+            pl.BlockSpec((None, None, t, 1),
+                         lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -358,7 +369,8 @@ def _flash_core_fwd(q, k, v, gate, pos_bias, mask_add, block_q, block_k):
 
 def _flash_core_bwd(block_q, block_k, res, g):
     q, k, v, gate, pos_bias, mask_add, out, lse = res
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [B,H,T,1]
     interp = _interpret()
     dq, dgate, dbias = _bwd_dq(
         q, k, v, gate, pos_bias, mask_add, g, lse, delta,
@@ -370,7 +382,7 @@ def _flash_core_bwd(block_q, block_k, res, g):
     )
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dgate.astype(gate.dtype), dbias.astype(pos_bias.dtype),
-            jnp.zeros_like(mask_add))
+            jnp.zeros_like(mask_add))  # gate/mask keep their 4-D/3-D layout
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -407,9 +419,11 @@ def flash_gated_attention(q, k, v, gate, pos_bias,
         gate = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_t)))
         pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_t), (0, pad_t)))
         valid = jnp.pad(valid, ((0, 0), (0, pad_t)))
-    mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+    # per-row vectors carry a trailing/unit dim (TPU block constraints)
+    gate4 = gate[..., None]                               # [B,H,Tp,1]
+    mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
-    out = _flash_core(q, k, v, gate, pos_bias.astype(jnp.float32),
+    out = _flash_core(q, k, v, gate4, pos_bias.astype(jnp.float32),
                       mask_add, block_q, block_k)
     if pad_t:
         out = out[:, :, :t, :]

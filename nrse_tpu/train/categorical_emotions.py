@@ -71,6 +71,15 @@ def load_pretrained_encoder(config, sample_input):
     from nrse_tpu.train.schedules import make_byol_optimizer
 
     path = config["emotion"].get("encoder_checkpoint")
+    if path and os.path.isfile(path) and path.endswith(".pt"):
+        # reference torch checkpoint — bridge it (models/convert.py)
+        from nrse_tpu.models.convert import load_reference_byol_checkpoint
+
+        variables = load_reference_byol_checkpoint(
+            path, _encoder_config_from(config)
+        )
+        logger.info(f"bridged reference torch BYOL checkpoint {path}")
+        return variables.online["params"]["encoder"]
     if not path or not os.path.isdir(path):
         logger.warning(
             f"encoder checkpoint {path!r} not found — training from scratch"
