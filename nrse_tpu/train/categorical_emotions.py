@@ -34,6 +34,7 @@ from nrse_tpu.train.emotion_trainer import (
     ReduceLROnPlateau,
     create_emotion_state,
     load_encoder_into_classifier,
+    make_batch_placer,
     make_emotion_eval_step,
     make_emotion_train_step,
 )
@@ -96,7 +97,8 @@ def load_pretrained_encoder(config, sample_input):
     return state.variables.online["params"]["encoder"]
 
 
-def _validate(model, params, val_loader, eval_step, class_weights):
+def _validate(model, params, val_loader, eval_step, class_weights,
+              place_batch=None):
     """Full-val pass → (loss-proxy, macro_f1, confusion, report, preds)."""
     from sklearn.metrics import classification_report, confusion_matrix, f1_score
 
@@ -105,7 +107,7 @@ def _validate(model, params, val_loader, eval_step, class_weights):
     all_preds, all_labels, losses = [], [], []
     for batch in val_loader:
         count = int(batch.pop("__count__", len(batch["C"])))
-        jbatch = jax.tree.map(jnp.asarray, batch)
+        jbatch = (place_batch or (lambda b: jax.tree.map(jnp.asarray, b)))(batch)
         out = eval_step(params, jbatch)
         logits = np.asarray(out["logits"])[:count]
         labels = np.asarray(batch["C"])[:count]
@@ -204,6 +206,8 @@ def train_categorical_emotions(config) -> Dict:
 
     cw = jnp.asarray(class_weights) if class_weights is not None else None
     frozen_scale = layer_gradient_scale(num_layers, [])
+    place_batch, place_state = make_batch_placer(config, bs)
+    state = place_state(state)
 
     def run_phase(phase: str, epochs: int, lr0: float, state,
                   unfreeze_schedule=None, best_name: str = "best_classifier_model"):
@@ -223,13 +227,14 @@ def train_categorical_emotions(config) -> Dict:
             epoch_loss, n = 0.0, 0
             for batch in train_loader:
                 batch.pop("__count__", None)
-                jbatch = jax.tree.map(jnp.asarray, batch)
+                jbatch = place_batch(batch)
                 state, metrics = train_step(state, jbatch, cw, scale,
                                             jnp.float32(lr))
                 epoch_loss += float(metrics["loss"])
                 n += 1
             val_loss, f1, cm, report = _validate(
-                model, state.params, val_loader, eval_step, class_weights
+                model, state.params, val_loader, eval_step, class_weights,
+                place_batch,
             )
             lr = plateau.step(f1)
             log = {f"{phase}/train_loss": epoch_loss / max(1, n),

@@ -32,6 +32,7 @@ from nrse_tpu.train.emotion_trainer import (
     ReduceLROnPlateau,
     create_emotion_state,
     load_encoder_into_classifier,
+    make_batch_placer,
     make_emotion_eval_step,
     make_emotion_train_step,
 )
@@ -65,14 +66,14 @@ def plot_scatter(predictions, targets, filename, title="Scatter Plot",
     plt.close()
 
 
-def _validate(params, val_loader, eval_step):
+def _validate(params, val_loader, eval_step, place_batch=None):
     """Full-val pass → (ccc_loss_proxy, {dim: ccc}, preds, targets)."""
     from nrse_tpu.train.losses import ccc_loss
 
     all_preds, all_tgts, losses = [], [], []
     for batch in val_loader:
         count = int(batch.pop("__count__", len(batch["A"])))
-        jbatch = jax.tree.map(jnp.asarray, batch)
+        jbatch = (place_batch or (lambda b: jax.tree.map(jnp.asarray, b)))(batch)
         out = eval_step(params, jbatch)
         dims = np.asarray(out["dims"])[:count]
         tgts = np.stack(
@@ -134,6 +135,8 @@ def train_dimensional_emotions(config) -> Dict:
                                          num_layers)
     eval_step = make_emotion_eval_step(model, "dimensional")
     frozen_scale = layer_gradient_scale(num_layers, [])
+    place_batch, place_state = make_batch_placer(config, bs)
+    state = place_state(state)
 
     def run_phase(phase: str, epochs: int, lr0: float, state,
                   unfreeze_schedule=None, best_name="best_classifier_model"):
@@ -153,13 +156,13 @@ def train_dimensional_emotions(config) -> Dict:
             epoch_loss, n = 0.0, 0
             for batch in train_loader:
                 batch.pop("__count__", None)
-                jbatch = jax.tree.map(jnp.asarray, batch)
+                jbatch = place_batch(batch)
                 state, metrics = train_step(state, jbatch, None, scale,
                                             jnp.float32(lr))
                 epoch_loss += float(metrics["loss"])
                 n += 1
             val_loss, ccc, preds, tgts = _validate(state.params, val_loader,
-                                                   eval_step)
+                                                   eval_step, place_batch)
             avg_ccc = float(np.mean(list(ccc.values())))
             lr = plateau.step(avg_ccc)
             log = {f"{phase}/train_loss": epoch_loss / max(1, n),

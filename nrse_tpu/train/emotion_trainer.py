@@ -157,6 +157,48 @@ def make_emotion_eval_step(model: EmotionClassifier, task: str):
     return jax.jit(eval_step)
 
 
+def make_batch_placer(config, batch_size: int):
+    """(place_batch, place_state) for data-parallel execution.
+
+    Builds the ``('data','model')`` mesh from ``tpu.mesh``; shards batches on
+    'data' and replicates state.  Falls back to default placement (single
+    logical device) when the batch doesn't divide the data axis — SER eval
+    loaders pad ragged batches, so training configs should divide evenly.
+    """
+    import jax
+
+    from nrse_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+
+    mesh_cfg = config.get("tpu", {}).get("mesh", {"data": -1, "model": 1})
+    mesh = make_mesh(mesh_cfg.get("data", -1), mesh_cfg.get("model", 1))
+    n_data = mesh.shape["data"]
+    if batch_size % n_data != 0:
+        from nrse_tpu.utils.logging_utils import logger
+
+        logger.warning(
+            f"emotion batch_size={batch_size} not divisible by data axis "
+            f"{n_data}; running without batch sharding"
+        )
+        ident = lambda tree: jax.tree.map(jnp.asarray, tree)
+        return ident, ident
+
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+
+    def place_batch(batch):
+        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bsh),
+                            batch)
+
+    def place_state(state):
+        return jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+
+    return place_batch, place_state
+
+
 class ReduceLROnPlateau:
     """Host-side metric-driven LR schedule (torch parity:
     ``ReduceLROnPlateau(mode, factor=0.5, patience)`` at

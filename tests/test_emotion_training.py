@@ -145,3 +145,21 @@ def test_layer_gradient_gating(emo_config):
     )[0]
     assert float(jnp.abs(stacked[0]).max()) == 0.0
     assert float(jnp.abs(stacked[1]).max()) == 1.0
+
+
+def test_batch_placer_sharding():
+    import jax
+    import jax.numpy as jnp
+
+    from nrse_tpu.train.emotion_trainer import make_batch_placer
+
+    cfg = {"tpu": {"mesh": {"data": -1, "model": 1}}}
+    place_batch, place_state = make_batch_placer(cfg, batch_size=8)
+    batch = {"input_values": np.zeros((8, 100), np.float32)}
+    placed = place_batch(batch)
+    assert len(placed["input_values"].sharding.device_set) == 8
+
+    # non-divisible batch falls back to default placement
+    place_batch2, _ = make_batch_placer(cfg, batch_size=3)
+    placed2 = place_batch2({"x": np.zeros((3, 4), np.float32)})
+    assert isinstance(placed2["x"], jax.Array)
