@@ -48,10 +48,11 @@ def main():
     iters = int(os.environ.get("NRSE_BENCH_ITERS", 10))
 
     if on_tpu:
+        remat_env = os.environ.get("NRSE_BENCH_REMAT", "0")
         cfg = WavLMConfig.large(
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
-            remat=os.environ.get("NRSE_BENCH_REMAT", "0") == "1",
+            remat={"0": False, "1": True, "ffn": "ffn"}.get(remat_env, False),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

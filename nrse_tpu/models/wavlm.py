@@ -78,7 +78,10 @@ class WavLMConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     use_flash_attention: bool = False
-    remat: bool = False
+    # False | True/"full" (remat whole layers) | "ffn" (recompute only the
+    # 4×-wide FFN activations in backward — the dominant HLO temps once
+    # flash attention removes the T×T tensors)
+    remat: Any = False
 
     @property
     def head_dim(self) -> int:
@@ -321,7 +324,10 @@ class EncoderLayer(nn.Module):
             param_dtype=cfg.param_dtype,
         )
         attn = GatedAttention(cfg, name="attention")
-        ff = FeedForward(cfg, name="feed_forward")
+        # static_argnums counts self: (self=0, x=1, deterministic=2)
+        ff_cls = nn.remat(FeedForward, prevent_cse=False, static_argnums=(2,)) \
+            if cfg.remat == "ffn" else FeedForward
+        ff = ff_cls(cfg, name="feed_forward")
         drop = nn.Dropout(cfg.hidden_dropout)
 
         if cfg.do_stable_layer_norm:
@@ -393,7 +399,7 @@ class WavLMEncoder(nn.Module):
         )
 
         body_cls = _ScanLayer
-        if cfg.remat:
+        if cfg.remat in (True, "full"):
             body_cls = nn.remat(_ScanLayer, prevent_cse=False)
 
         # One compiled layer body scanned over stacked parameters.

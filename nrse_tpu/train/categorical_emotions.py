@@ -67,10 +67,6 @@ def load_pretrained_encoder(config, sample_input):
     Parity with ``categorical_emotions.py:45-50`` (torch.load + strip to
     ``get_encoder()``), on orbax checkpoints produced by ``train_byol.py``.
     """
-    from nrse_tpu.models.byol import BYOLSpeechModel
-    from nrse_tpu.train.byol_trainer import create_train_state
-    from nrse_tpu.train.schedules import make_byol_optimizer
-
     path = config["emotion"].get("encoder_checkpoint")
     if path and os.path.isfile(path) and path.endswith(".pt"):
         # reference torch checkpoint — bridge it (models/convert.py)
@@ -86,15 +82,17 @@ def load_pretrained_encoder(config, sample_input):
             f"encoder checkpoint {path!r} not found — training from scratch"
         )
         return None
+    from nrse_tpu.train.checkpoint import restore_checkpoint_raw
+
     ckpt_dir, name = os.path.split(path.rstrip("/"))
-    model = BYOLSpeechModel(config, encoder_config=_encoder_config_from(config))
-    template = create_train_state(
-        model, jax.random.PRNGKey(0), sample_input,
-        make_byol_optimizer(1e-5, 1e-5, total_steps=1),
-    )
-    state, _ = restore_checkpoint(ckpt_dir, name, template)
+    raw = restore_checkpoint_raw(ckpt_dir, name)
+    # BYOLTrainState dataclass serialises by field name; the optimizer
+    # structure is irrelevant here — only the online encoder is needed
+    # (reference semantics: torch.load → get_encoder(),
+    # categorical_emotions.py:45-50)
+    encoder = raw["variables"]["online"]["params"]["encoder"]
     logger.info(f"loaded BYOL encoder from {path}")
-    return state.variables.online["params"]["encoder"]
+    return jax.tree.map(jnp.asarray, encoder)
 
 
 def _validate(model, params, val_loader, eval_step, class_weights,

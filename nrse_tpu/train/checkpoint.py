@@ -66,6 +66,18 @@ def restore_checkpoint(ckpt_dir: str, name: str, template_state: Any
     return state, metadata
 
 
+def restore_checkpoint_raw(ckpt_dir: str, name: str) -> Any:
+    """Restore a checkpoint as raw nested dicts/arrays (no template).
+
+    Useful for partial extraction (e.g. pulling only the encoder subtree out
+    of a BYOL train state whose optimizer structure is unknown)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name, "state"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     """Name of the most recently written checkpoint in a directory."""
     if not os.path.isdir(ckpt_dir):

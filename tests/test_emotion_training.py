@@ -163,3 +163,43 @@ def test_batch_placer_sharding():
     place_batch2, _ = make_batch_placer(cfg, batch_size=3)
     placed2 = place_batch2({"x": np.zeros((3, 4), np.float32)})
     assert isinstance(placed2["x"], jax.Array)
+
+
+def test_emotion_trainer_loads_byol_orbax_checkpoint(emo_config, tmp_path,
+                                                     tiny_wav_dir):
+    """Full pipeline handoff: BYOL pretrain checkpoint → SER trainer."""
+    import copy
+
+    import yaml
+
+    import train_byol
+    from nrse_tpu.train.categorical_emotions import load_pretrained_encoder
+
+    byol_cfg = {
+        "model": {"name": "wavlm-tiny", "projection_dim": 32,
+                  "prediction_dim": 64, "ema_decay": 0.99},
+        "training": {"batch_size": 8, "num_workers": 2, "num_epochs": 1,
+                     "learning_rate": 1e-3, "weight_decay": 1e-5,
+                     "checkpoint_dir": str(tmp_path / "byol_ck"),
+                     "log_dir": str(tmp_path / "byol_logs"), "seed": 42,
+                     "early_stopping_metric": "val_loss",
+                     "early_stopping_patience": 5,
+                     "early_stopping_min_delta": 0.0},
+        "data": {"clean_data_path": str(tiny_wav_dir / "clean"),
+                 "noise_data_path": str(tiny_wav_dir / "noise"),
+                 "sample_rate": 16000, "max_audio_length": 1.0,
+                 "snr_range": [0, 5], "validation_ratio": 0.34},
+        "logging": {"wandb_mode": "disabled", "level": "ERROR",
+                    "console_level": "ERROR", "visualization_interval": 100},
+        "tpu": {"mesh": {"data": -1, "model": 1}, "prefetch_depth": 0},
+    }
+    p = tmp_path / "byol.yaml"
+    p.write_text(yaml.safe_dump(byol_cfg))
+    train_byol.main(["--config", str(p), "--device", "cpu"])
+
+    cfg = copy.deepcopy(emo_config)
+    cfg["emotion"]["encoder_checkpoint"] = str(
+        tmp_path / "byol_ck" / "best_val_loss")
+    enc = load_pretrained_encoder(cfg, jnp.zeros((2, 16000)))
+    assert enc is not None
+    assert "feature_extractor" in enc and "encoder" in enc
