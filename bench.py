@@ -102,10 +102,13 @@ def main():
               f"(loss={float(metrics['loss']):.4f})",
               file=sys.stderr, flush=True)
 
+    from nrse_tpu.utils.profiling import profile_trace
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    with profile_trace(os.environ.get("NRSE_BENCH_PROFILE")):
+        for _ in range(iters):
+            state, metrics = step(state, batch_data)
+        jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     audio_sec_per_sec = batch * clip_seconds / dt

@@ -403,9 +403,16 @@ def flash_gated_attention(q, k, v, gate, pos_bias,
     Returns ``[B, H, T, D]`` in v's dtype.
     """
     b, h, t, d = q.shape
-    t_pad = _ceil_to(max(t, block_q), block_q)
-    block_q = min(block_q, t_pad)
-    block_k = min(block_k, t_pad)
+    t_pad = _ceil_to(t, LANE)
+    # short sequences (the 5 s / 249-frame workload) run as one block per
+    # (batch, head) — no streaming-softmax overhead; longer audio streams
+    # in `block_q`/`block_k` chunks
+    if t_pad <= 512:
+        block_q = block_k = t_pad
+    else:
+        t_pad = _ceil_to(t, block_q)
+        block_q = min(block_q, t_pad)
+        block_k = min(block_k, t_pad)
     pad_t = t_pad - t
 
     if key_padding_mask is None:
