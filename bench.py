@@ -52,7 +52,8 @@ def main():
         cfg = WavLMConfig.large(
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
-            remat={"0": False, "1": True, "ffn": "ffn"}.get(remat_env, False),
+            remat={"0": False, "1": True, "ffn": "ffn",
+                   "dots": "dots"}.get(remat_env, False),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

@@ -61,6 +61,9 @@ class HostDataLoader:
 
         bs = self.batch_size
         n_batches = len(self)
+        # datasets may expose a vectorised `sample_batch` (native C++
+        # multithreaded decode) — prefer it over per-item Python workers
+        fast_path = getattr(self.dataset, "sample_batch", None)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b in range(n_batches):
                 chunk = order[b * bs : (b + 1) * bs]
@@ -75,13 +78,15 @@ class HostDataLoader:
                     )
                     for i in range(bs)
                 ]
-                items = list(pool.map(
-                    lambda a: self.dataset.sample(int(a[0]), a[1]),
-                    zip(chunk, item_rngs),
-                ))
-                batch = {
-                    k: np.stack([it[k] for it in items]) for k in items[0]
-                }
+                batch = fast_path(chunk, item_rngs) if fast_path else None
+                if batch is None:
+                    items = list(pool.map(
+                        lambda a: self.dataset.sample(int(a[0]), a[1]),
+                        zip(chunk, item_rngs),
+                    ))
+                    batch = {
+                        k: np.stack([it[k] for it in items]) for k in items[0]
+                    }
                 batch["__count__"] = np.asarray(true_count, np.int32)
                 yield batch
 

@@ -61,6 +61,51 @@ class NoiseRobustSpeechDataset:
             random_crop=True, rng=pyrng,
         )
 
+    def sample_batch(self, indices, item_rngs) -> Optional[Dict[str, np.ndarray]]:
+        """Vectorised batch assembly via the native C++ loader.
+
+        Decodes/resamples/crops the whole clean+noise batch with the
+        multithreaded native runtime; items the native decoder rejects fall
+        back to the per-item Python path (which carries the reference's
+        retry semantics).  Returns None when the native runtime is absent
+        (HostDataLoader then uses per-item ``sample``).
+        """
+        if self.featurize:
+            return None  # parity path stays per-item
+        try:
+            from nrse_tpu.runtime.native import native_available, native_load_batch
+
+            if not native_available():
+                return None
+        except Exception:
+            return None
+
+        n = len(indices)
+        clean_paths = [self.clean_files[int(i)] for i in indices]
+        noise_idx = [int(r.integers(0, len(self.noise_files))) for r in item_rngs]
+        noise_paths = [self.noise_files[j] for j in noise_idx]
+        seeds = np.asarray(
+            [r.integers(1, 2**62) for r in item_rngs], np.uint64
+        )
+        clean, clean_len = native_load_batch(
+            clean_paths, self.sample_rate, self.max_samples, True, seeds
+        )
+        noise, noise_len = native_load_batch(
+            noise_paths, self.sample_rate, self.max_samples, True, seeds + 1
+        )
+        snr = np.asarray(
+            [self.snr_range[int(r.integers(0, len(self.snr_range)))]
+             for r in item_rngs], np.float32,
+        )
+        batch = {"clean": clean, "noise": noise, "snr": snr}
+        # per-item fallback for native failures (retry semantics live there)
+        bad = np.nonzero((clean_len < 0) | (noise_len < 0))[0]
+        for j in bad:
+            item = self.sample(int(indices[j]), item_rngs[j])
+            for k in batch:
+                batch[k][j] = item[k]
+        return batch
+
     def sample(self, idx: int, rng: np.random.Generator
                ) -> Dict[str, np.ndarray]:
         """One training item with the reference's retry semantics

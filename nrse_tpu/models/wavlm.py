@@ -401,6 +401,14 @@ class WavLMEncoder(nn.Module):
         body_cls = _ScanLayer
         if cfg.remat in (True, "full"):
             body_cls = nn.remat(_ScanLayer, prevent_cse=False)
+        elif cfg.remat == "dots":
+            # save MXU (matmul) outputs, recompute elementwise ops — the
+            # sweet spot with flash attention: ~200 MB/layer of residuals
+            # instead of full activation saves, at near-zero recompute cost
+            body_cls = nn.remat(
+                _ScanLayer, prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
 
         # One compiled layer body scanned over stacked parameters.
         stack = nn.scan(

@@ -91,3 +91,30 @@ def test_create_dataloaders_split(tiny_wav_dir):
     assert len(train.indices) == 4 and len(val.indices) == 2
     assert set(train.indices) | set(val.indices) == set(range(6))
     assert not set(train.indices) & set(val.indices)
+
+
+def test_native_batch_fast_path_matches_shapes(dataset):
+    """sample_batch (native C++ path) produces the same batch structure."""
+    from nrse_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    rngs = [np.random.default_rng(i) for i in range(4)]
+    batch = dataset.sample_batch(np.arange(4), rngs)
+    assert batch is not None
+    assert batch["clean"].shape == (4, 16000)
+    assert batch["noise"].shape == (4, 16000)
+    assert batch["snr"].shape == (4,)
+    assert np.isfinite(batch["clean"]).all()
+    assert np.abs(batch["clean"]).max() > 1e-4
+
+
+def test_loader_uses_fast_path(dataset):
+    from nrse_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    loader = HostDataLoader(dataset, np.arange(len(dataset)), batch_size=4,
+                            shuffle=False, num_workers=1, drop_last=True)
+    batch = next(iter(loader))
+    assert set(batch) == {"clean", "noise", "snr", "__count__"}
