@@ -222,25 +222,27 @@ def train_categorical_emotions(config) -> Dict:
                 logger.info(f"[{phase}] epoch {epoch}: unfrozen layers {layers}")
             else:
                 scale = frozen_scale
-            epoch_loss, n = 0.0, 0
+            step_losses = []
             for batch in train_loader:
                 batch.pop("__count__", None)
                 jbatch = place_batch(batch)
                 state, metrics = train_step(state, jbatch, cw, scale,
                                             jnp.float32(lr))
-                epoch_loss += float(metrics["loss"])
-                n += 1
+                step_losses.append(metrics["loss"])  # device-side until epoch end
+            epoch_loss = float(jnp.mean(jnp.stack(step_losses))) \
+                if step_losses else 0.0
+            n = len(step_losses)
             val_loss, f1, cm, report = _validate(
                 model, state.params, val_loader, eval_step, class_weights,
                 place_batch,
             )
             lr = plateau.step(f1)
-            log = {f"{phase}/train_loss": epoch_loss / max(1, n),
+            log = {f"{phase}/train_loss": epoch_loss,
                    f"{phase}/val_loss": val_loss, f"{phase}/val_f1": f1,
                    f"{phase}/lr": lr, "epoch": epoch}
             wandb.log(log)
             print(f"[{phase}] epoch {epoch+1}/{epochs} "
-                  f"train_loss={epoch_loss/max(1,n):.4f} val_loss={val_loss:.4f} "
+                  f"train_loss={epoch_loss:.4f} val_loss={val_loss:.4f} "
                   f"macro_f1={f1:.4f} lr={lr:.2e}")
             if f1 > best_f1:
                 best_f1 = f1

@@ -153,26 +153,28 @@ def train_dimensional_emotions(config) -> Dict:
                 logger.info(f"[{phase}] epoch {epoch}: unfrozen layers {layers}")
             else:
                 scale = frozen_scale
-            epoch_loss, n = 0.0, 0
+            step_losses = []
             for batch in train_loader:
                 batch.pop("__count__", None)
                 jbatch = place_batch(batch)
                 state, metrics = train_step(state, jbatch, None, scale,
                                             jnp.float32(lr))
-                epoch_loss += float(metrics["loss"])
-                n += 1
+                step_losses.append(metrics["loss"])  # device-side until epoch end
+            epoch_loss = float(jnp.mean(jnp.stack(step_losses))) \
+                if step_losses else 0.0
+            n = len(step_losses)
             val_loss, ccc, preds, tgts = _validate(state.params, val_loader,
                                                    eval_step, place_batch)
             avg_ccc = float(np.mean(list(ccc.values())))
             lr = plateau.step(avg_ccc)
-            log = {f"{phase}/train_loss": epoch_loss / max(1, n),
+            log = {f"{phase}/train_loss": epoch_loss,
                    f"{phase}/val_loss": val_loss, f"{phase}/val_ccc": avg_ccc,
                    f"{phase}/lr": lr, "epoch": epoch}
             for name, v in ccc.items():
                 log[f"{phase}/ccc_{name}"] = v
             wandb.log(log)
             print(f"[{phase}] epoch {epoch+1}/{epochs} "
-                  f"train_loss={epoch_loss/max(1,n):.4f} "
+                  f"train_loss={epoch_loss:.4f} "
                   f"val_ccc={avg_ccc:.4f} "
                   f"(A={ccc['arousal']:.3f} V={ccc['valence']:.3f} "
                   f"D={ccc['dominance']:.3f}) lr={lr:.2e}")

@@ -126,14 +126,16 @@ def main(argv=None):
 
     for epoch in range(start_epoch, num_epochs):
         meter = ThroughputMeter(n_chips=n_chips)
-        epoch_loss, n_steps = 0.0, 0
+        # losses stay on device until epoch end — a per-step float() would
+        # force a host sync and stall the async dispatch pipeline
+        step_losses = []
         for batch in PrefetchLoader(train_loader, depth=prefetch, sharding=bsh):
             batch.pop("__count__", None)
             state, metrics = train_step(state, batch)
-            epoch_loss += float(metrics["loss"])
-            n_steps += 1
+            step_losses.append(metrics["loss"])
             meter.update(batch_size, clip_seconds)
-        epoch_loss /= max(1, n_steps)
+        epoch_loss = float(jnp.mean(jnp.stack(step_losses))) if step_losses \
+            else 0.0
         throughput = meter.audio_sec_per_sec_per_chip
 
         val_loss, val_metrics = validate_model(model, state, val_loader, config)
