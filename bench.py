@@ -54,9 +54,6 @@ def main():
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
             remat={"0": False, "1": True, "ffn": "ffn",
                    "dots": "dots"}.get(remat_env, False),
-            norm_dtype=jnp.bfloat16
-            if os.environ.get("NRSE_BENCH_NORM", "f32") == "bf16"
-            else jnp.float32,
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

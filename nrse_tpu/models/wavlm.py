@@ -77,10 +77,6 @@ class WavLMConfig:
     # TPU execution knobs
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    # LayerNorm compute dtype: f32 (default, exact HF parity) or bf16
-    # (halves the frontend's HBM traffic; LN of unit-scale activations is
-    # well-conditioned in bf16)
-    norm_dtype: Any = jnp.float32
     use_flash_attention: bool = False
     # False | True/"full" (remat whole layers) | "ffn" (recompute only the
     # 4×-wide FFN activations in backward — the dominant HLO temps once
@@ -161,7 +157,7 @@ class ConvFeatureEncoder(nn.Module):
             )(h)
             if cfg.feat_extract_norm == "layer":
                 h = nn.LayerNorm(
-                    epsilon=cfg.layer_norm_eps, dtype=cfg.norm_dtype,
+                    epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                     param_dtype=cfg.param_dtype, name=f"layer_norm_{i}",
                 )(h).astype(cfg.dtype)
             elif cfg.feat_extract_norm == "group" and i == 0:
@@ -180,7 +176,7 @@ class FeatureProjection(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         norm = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=cfg.norm_dtype,
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
             param_dtype=cfg.param_dtype, name="layer_norm",
         )(x).astype(cfg.dtype)
         h = nn.Dense(
@@ -324,7 +320,7 @@ class EncoderLayer(nn.Module):
         cfg = self.config
         layer_input = hidden
         ln = partial(
-            nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=cfg.norm_dtype,
+            nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
             param_dtype=cfg.param_dtype,
         )
         attn = GatedAttention(cfg, name="attention")
@@ -385,7 +381,7 @@ class WavLMEncoder(nn.Module):
         hidden = hidden + PositionalConvEmbedding(cfg, name="pos_conv_embed")(hidden)
         if not cfg.do_stable_layer_norm:
             hidden = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=cfg.norm_dtype,
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                 param_dtype=cfg.param_dtype, name="layer_norm",
             )(hidden).astype(cfg.dtype)
         hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
@@ -426,7 +422,7 @@ class WavLMEncoder(nn.Module):
 
         if cfg.do_stable_layer_norm:
             hidden = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=cfg.norm_dtype,
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                 param_dtype=cfg.param_dtype, name="layer_norm",
             )(hidden).astype(cfg.dtype)
         return hidden
