@@ -82,6 +82,8 @@ class WavLMConfig:
     # 4×-wide FFN activations in backward — the dominant HLO temps once
     # flash attention removes the T×T tensors)
     remat: Any = False
+    # layer-scan unroll factor (cross-layer fusion vs compile time)
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -417,6 +419,7 @@ class WavLMEncoder(nn.Module):
             split_rngs={"params": True, "dropout": True, "layerdrop": True},
             in_axes=(nn.broadcast, nn.broadcast),
             length=cfg.num_hidden_layers,
+            unroll=cfg.scan_unroll,
         )(cfg, deterministic, name="layers")
         hidden, _ = stack(hidden, pos_bias, attention_mask)
 
