@@ -66,7 +66,11 @@ def main():
                    "ema_decay": 0.997}},
         encoder_config=cfg,
     )
-    optimizer = make_byol_optimizer(1e-5, 1e-5, total_steps=100000)
+    optimizer = make_byol_optimizer(
+        1e-5, 1e-5, total_steps=100000,
+        mu_dtype=jnp.bfloat16
+        if os.environ.get("NRSE_BENCH_MU16", "0") == "1" else None,
+    )
 
     rng = np.random.default_rng(0)
     t_ax = np.arange(t) / 16000.0

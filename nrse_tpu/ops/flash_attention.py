@@ -144,7 +144,6 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
     t = k_ref.shape[0]
     bq, d = q_ref.shape
     nk = t // block_k
-    nb = pl.num_programs(2)
     ib = pl.program_id(2)
 
     q = q_ref[:].astype(jnp.float32) * scale

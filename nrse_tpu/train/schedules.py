@@ -21,19 +21,22 @@ def cosine_annealing(base_lr: float, total_steps: int, eta_min: float = 0.0):
 
 
 def make_byol_optimizer(learning_rate, weight_decay: float = 1e-5,
-                        total_steps: int = 0, clip_norm: float = 1.0):
+                        total_steps: int = 0, clip_norm: float = 1.0,
+                        mu_dtype=None):
     """clip-by-global-norm → AdamW with cosine schedule.
 
     ``learning_rate`` may be a float (constant) or a schedule; when
     ``total_steps`` > 0 a cosine annealing schedule is built from the float,
     matching the reference's per-batch ``scheduler.step()``.
+    ``mu_dtype=bfloat16`` halves the first-moment memory (the smooth EMA
+    tolerates bf16; second moments stay f32).
     """
     schedule = learning_rate
     if total_steps and not callable(learning_rate):
         schedule = cosine_annealing(learning_rate, total_steps)
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(schedule, weight_decay=weight_decay),
+        optax.adamw(schedule, weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
 
 
