@@ -48,7 +48,7 @@ def main():
     iters = int(os.environ.get("NRSE_BENCH_ITERS", 10))
 
     if on_tpu:
-        remat_env = os.environ.get("NRSE_BENCH_REMAT", "0")
+        remat_env = os.environ.get("NRSE_BENCH_REMAT", "1")
         cfg = WavLMConfig.large(
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
@@ -91,7 +91,7 @@ def main():
           file=sys.stderr, flush=True)
     step = make_byol_train_step(
         model, optimizer,
-        donate=os.environ.get("NRSE_BENCH_DONATE", "1") == "1",
+        donate=os.environ.get("NRSE_BENCH_DONATE", "0") == "1",  # donation broken on the tunnel backend
     )
     batch_data = {
         "clean": jnp.asarray(clean),

@@ -101,3 +101,32 @@ def test_model_parity_with_flash_flag():
     seq_flash, _ = model_flash.apply(params, x)
     err = float(jnp.abs(seq_ref - seq_flash).max())
     assert err < 5e-4, err
+
+
+def test_streaming_multiblock_path():
+    """T > 512 exercises the blockwise streaming softmax (short T takes the
+    single-block fast path)."""
+    t = 640
+    (q, k, v, gate, pos_bias), mask = make_inputs(t, seed=3, masked=True)
+    jmask = jnp.asarray(mask)
+    ref = gated_bias_attention(q, k, v, gate, pos_bias, jmask)
+    ours = flash_gated_attention(q, k, v, gate, pos_bias, jmask,
+                                 block_q=128, block_k=128)
+    err = np.abs(np.asarray(ours) - np.asarray(ref)).max()
+    assert err < 3e-5, err
+
+    def loss(q, k, v, gate, pb):
+        o = flash_gated_attention(q, k, v, gate, pb, jmask,
+                                  block_q=128, block_k=128)
+        return jnp.sum(o * 0.001 * jnp.arange(o.size).reshape(o.shape))
+
+    def loss_ref(q, k, v, gate, pb):
+        o = gated_bias_attention(q, k, v, gate, pb, jmask)
+        return jnp.sum(o * 0.001 * jnp.arange(o.size).reshape(o.shape))
+
+    g = jax.grad(loss, argnums=(0, 3, 4))(q, k, v, gate, pos_bias)
+    gr = jax.grad(loss_ref, argnums=(0, 3, 4))(q, k, v, gate, pos_bias)
+    for a, b in zip(g, gr):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(b)).max() + 1e-6)
+        assert err < 5e-4, err
