@@ -109,17 +109,10 @@ def hf_wavlm_to_params(state_dict: Mapping[str, Any],
     # transformer layers → stacked scan layout -------------------------------
     def layer_tree(i: int) -> Dict[str, Any]:
         base = f"encoder.layers.{i}"
-        q = _linear(sd, f"{base}.attention.q_proj")
-        k = _linear(sd, f"{base}.attention.k_proj")
-        v = _linear(sd, f"{base}.attention.v_proj")
         attn = {
-            # fused QKV layout (models/wavlm.py GatedAttention)
-            "qkv_proj": {
-                "kernel": np.concatenate(
-                    [q["kernel"], k["kernel"], v["kernel"]], axis=1
-                ),
-                "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
-            },
+            "q_proj": _linear(sd, f"{base}.attention.q_proj"),
+            "k_proj": _linear(sd, f"{base}.attention.k_proj"),
+            "v_proj": _linear(sd, f"{base}.attention.v_proj"),
             "out_proj": _linear(sd, f"{base}.attention.out_proj"),
             "gru_rel_pos_linear": _linear(
                 sd, f"{base}.attention.gru_rel_pos_linear"

@@ -254,10 +254,9 @@ class GatedAttention(nn.Module):
         def split_heads(x):
             return jnp.transpose(x.reshape(b, t, h, d), (0, 2, 1, 3))
 
-        # fused QKV: one [C, 3C] matmul (the converter concatenates HF's
-        # separate q/k/v projections)
-        qkv = dense(3 * c, name="qkv_proj")(hidden)
-        q, k, v = (split_heads(x) for x in jnp.split(qkv, 3, axis=-1))
+        q = split_heads(dense(c, name="q_proj")(hidden))
+        k = split_heads(dense(c, name="k_proj")(hidden))
+        v = split_heads(dense(c, name="v_proj")(hidden))
 
         # Per-(batch, head, query) gate computed from the attention input
         # (not the q projection) — HF WavLMAttention semantics.

@@ -82,8 +82,7 @@ def param_partition_spec(path, leaf) -> P:
     name = keys[-1]
     joined = "/".join(keys)
     if name == "kernel" and leaf.ndim == 3:  # stacked [L, in, out]
-        if any(k in joined for k in ("qkv_proj", "q_proj", "k_proj",
-                                     "v_proj")):
+        if any(k in joined for k in ("q_proj", "k_proj", "v_proj")):
             return P(None, None, "model")
         if "out_proj" in joined:
             return P(None, "model", None)
@@ -92,8 +91,8 @@ def param_partition_spec(path, leaf) -> P:
         if "output_dense" in joined and "feed_forward" in joined:
             return P(None, "model", None)
     if name == "bias" and leaf.ndim == 2:  # stacked [L, dim]
-        if any(k in joined for k in ("qkv_proj", "q_proj", "k_proj",
-                                     "v_proj", "intermediate_dense")):
+        if any(k in joined for k in ("q_proj", "k_proj", "v_proj",
+                                      "intermediate_dense")):
             return P(None, "model")
     return P()
 
