@@ -316,11 +316,8 @@ class EncoderLayer(nn.Module):
 
     config: WavLMConfig
 
-    @nn.compact
-    def __call__(self, hidden, pos_bias, key_padding_mask=None,
-                 deterministic: bool = True):
+    def _body(self, hidden, pos_bias, key_padding_mask, deterministic):
         cfg = self.config
-        layer_input = hidden
         ln = partial(
             nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
             param_dtype=cfg.param_dtype,
@@ -344,15 +341,35 @@ class EncoderLayer(nn.Module):
             hidden = ln(name="layer_norm")(hidden).astype(cfg.dtype)
             hidden = hidden + ff(hidden, deterministic)
             hidden = ln(name="final_layer_norm")(hidden).astype(cfg.dtype)
-
-        if cfg.layerdrop > 0.0 and not deterministic:
-            keep = jax.random.bernoulli(
-                self.make_rng("layerdrop"), 1.0 - cfg.layerdrop
-            )
-            # Static shapes under XLA: compute-and-select (skipping would
-            # save no wall-clock on TPU; semantics match stochastic depth).
-            hidden = jnp.where(keep, hidden, layer_input)
         return hidden
+
+    @nn.compact
+    def __call__(self, hidden, pos_bias, key_padding_mask=None,
+                 deterministic: bool = True, layer_idx=None):
+        cfg = self.config
+        if (cfg.layerdrop <= 0.0 or deterministic
+                or self.is_initializing()):
+            return self._body(hidden, pos_bias, key_padding_mask,
+                              deterministic)
+
+        # LayerDrop with real skipped compute: ONE scalar draw per layer per
+        # step (HF semantics — the whole batch skips together, never layer
+        # 0); lax.cond executes only the taken branch at runtime, so the
+        # expected `layerdrop` fraction of layer FLOPs is genuinely saved,
+        # unlike a compute-then-select formulation.
+        keep = jax.random.bernoulli(
+            self.make_rng("layerdrop"), 1.0 - cfg.layerdrop
+        )
+        if layer_idx is not None:
+            keep = keep | (layer_idx == 0)
+
+        def run(mdl, h):
+            return mdl._body(h, pos_bias, key_padding_mask, deterministic)
+
+        def skip(mdl, h):
+            return h
+
+        return nn.cond(keep, run, skip, self, hidden)
 
 
 class _ScanLayer(nn.Module):
@@ -362,9 +379,10 @@ class _ScanLayer(nn.Module):
     deterministic: bool
 
     @nn.compact
-    def __call__(self, hidden, pos_bias, key_padding_mask):
+    def __call__(self, hidden, pos_bias, key_padding_mask, layer_idx):
         out = EncoderLayer(self.config, name="layer")(
-            hidden, pos_bias, key_padding_mask, self.deterministic
+            hidden, pos_bias, key_padding_mask, self.deterministic,
+            layer_idx,
         )
         return out, None
 
@@ -417,11 +435,12 @@ class WavLMEncoder(nn.Module):
             body_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True, "layerdrop": True},
-            in_axes=(nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, 0),
             length=cfg.num_hidden_layers,
             unroll=cfg.scan_unroll,
         )(cfg, deterministic, name="layers")
-        hidden, _ = stack(hidden, pos_bias, attention_mask)
+        hidden, _ = stack(hidden, pos_bias, attention_mask,
+                          jnp.arange(cfg.num_hidden_layers))
 
         if cfg.do_stable_layer_norm:
             hidden = nn.LayerNorm(
