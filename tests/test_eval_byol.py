@@ -1,0 +1,71 @@
+"""Unit tests for the fused BYOL validation stack."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nrse_tpu.data.loader import HostDataLoader
+from nrse_tpu.data.noisy_speech_dataset import NoiseRobustSpeechDataset
+from nrse_tpu.eval.evaluate_byol import (
+    evaluate_embedding_similarity,
+    validate_model,
+    visualize_embeddings,
+)
+from nrse_tpu.models.byol import BYOLSpeechModel
+from nrse_tpu.models.wavlm import WavLMConfig
+from nrse_tpu.train.byol_trainer import create_train_state
+from nrse_tpu.train.schedules import make_byol_optimizer
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_wav_dir):
+    ds = NoiseRobustSpeechDataset(
+        clean_data_path=str(tiny_wav_dir / "clean"),
+        noise_data_path=str(tiny_wav_dir / "noise"),
+        max_audio_length=1.0, snr_range=[0, 5, 10],
+    )
+    loader = HostDataLoader(ds, np.arange(len(ds)), batch_size=4,
+                            shuffle=False, num_workers=2, drop_last=False)
+    model = BYOLSpeechModel(
+        {"model": {"projection_dim": 32, "prediction_dim": 64,
+                   "ema_decay": 0.99}},
+        encoder_config=WavLMConfig.tiny(layerdrop=0.0),
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((4, 16000)),
+        make_byol_optimizer(1e-3, total_steps=10),
+    )
+    config = {"data": {"snr_range": [0, 5, 10]}}
+    return model, state, loader, config
+
+
+def test_validate_model_fused(setup):
+    model, state, loader, config = setup
+    val_loss, metrics = validate_model(model, state, loader, config)
+    assert np.isfinite(val_loss)
+    assert set(metrics) == {"val_loss", "val_avg_similarity",
+                            "val_similarities"}
+    assert set(metrics["val_similarities"]) == {0, 5, 10}
+    # avg = mean of per-SNR means (reference evaluate_byol.py:113-115)
+    expect = np.mean([v for v in metrics["val_similarities"].values()])
+    np.testing.assert_allclose(metrics["val_avg_similarity"], expect,
+                               rtol=1e-6)
+    for v in metrics["val_similarities"].values():
+        assert -1.0 <= v <= 1.0
+
+
+def test_evaluate_embedding_similarity_buckets(setup):
+    model, state, loader, config = setup
+    sims = evaluate_embedding_similarity(model, state, loader, config)
+    assert set(sims) == {0, 5, 10}
+
+
+def test_visualize_embeddings_writes_png(setup, tmp_path):
+    model, state, loader, config = setup
+    path = visualize_embeddings(model, state, loader, str(tmp_path),
+                                "tsne.png", num_samples=8)
+    import os
+
+    assert os.path.exists(path)
