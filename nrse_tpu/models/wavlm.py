@@ -387,7 +387,7 @@ class _ScanLayer(nn.Module):
         return out, None
 
 
-class WavLMEncoder(nn.Module):
+class WavLMTransformerEncoder(nn.Module):
     """Transformer encoder stack (stable-LN layout for wavlm-large)."""
 
     config: WavLMConfig
@@ -503,7 +503,7 @@ class WavLMModel(nn.Module):
                     hidden,
                 )
 
-        hidden = WavLMEncoder(cfg, name="encoder")(
+        hidden = WavLMTransformerEncoder(cfg, name="encoder")(
             hidden, frame_mask, deterministic
         )
 

@@ -133,3 +133,20 @@ def test_position_bias_matches_hf(tiny_pair):
         )
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_wavlm_encoder_wrapper_api():
+    """Reference-API wrapper: WavLMEncoder(model_name) with output_dim and
+    [B,1,T] handling (encoder.py:5-32 surface)."""
+    from nrse_tpu.models.encoder import WavLMEncoder
+    from nrse_tpu.models.wavlm import WavLMConfig
+
+    enc = WavLMEncoder("wavlm-tiny", config=WavLMConfig.tiny(layerdrop=0.0))
+    assert enc.output_dim == 64
+    x = np.random.default_rng(0).standard_normal((2, 8000)).astype(np.float32)
+    seq = enc(x)
+    assert seq.shape[0] == 2 and seq.shape[2] == 64
+    seq3 = enc(x[:, None, :])  # [B, 1, T] parity
+    np.testing.assert_allclose(np.asarray(seq3), np.asarray(seq), atol=1e-6)
+    pooled = enc.encode_pooled(x)
+    assert pooled.shape == (2, 64)
