@@ -14,14 +14,16 @@ Why a custom kernel (vs XLA attention in ``ops/attention.py``):
     per VMEM block, so the gated ``[B,H,T,T]`` tensor never exists in HBM —
     in any dtype, in either pass.
 
-Layout: padded to 128-aligned T; grid over (batch, head, q-block) for the
-forward and dq, (batch, head, k-block) for dk/dv; K/V live whole in VMEM
-per (b, h) — fine up to several-thousand-frame sequences (T·D·4 B each),
-and the block sizes are parameters for longer audio.
+Grid layout: ALL heads are processed per grid step (an unrolled loop inside
+the kernel) — per-(batch, head) grids are launch-bound at speech-scale
+T≈250 (576 tiny steps per call).  Forward/dq grids iterate (batch,
+q-blocks); dk/dv iterates (batch, k-blocks); the dpos_bias output
+accumulates across the batch-innermost grid axis.
 
 Numerics: scores/softmax in f32, matmuls via MXU with
 ``preferred_element_type=f32``; key-padding enters as an additive 0/-1e9
-row so fully-padded rows stay finite.
+row so fully-padded rows stay finite.  Per-row vectors carry a trailing
+unit dim ([..., T, 1]) — TPU block specs need two real trailing dims.
 """
 
 from __future__ import annotations
@@ -43,58 +45,58 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# forward
+# forward: grid (B, num_q_blocks); kernel loops heads (unrolled) and k-blocks
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
                 o_ref, lse_ref, *, block_k: int, scale: float):
-    # q: [BQ, D]; k/v: [T, D]; gate: [BQ, 1]; bias: [BQ, T]; madd: [1, T]
-    # (per-row vectors carry a trailing unit dim — TPU blocks need two
-    # real trailing dims)
-    t = k_ref.shape[0]
-    bq, d = q_ref.shape
+    # q/o: [H, BQ, D]; k/v: [H, T, D]; gate/lse: [H, BQ, 1];
+    # bias: [H, BQ, T]; madd: [1, T]
+    h, bq, d = q_ref.shape
+    t = k_ref.shape[1]
     nk = t // block_k
 
-    q = q_ref[:].astype(jnp.float32) * scale
-    gate = gate_ref[:].astype(jnp.float32)  # [BQ, 1]
+    for hi in range(h):
+        q = q_ref[hi].astype(jnp.float32) * scale
+        gate = gate_ref[hi].astype(jnp.float32)  # [BQ, 1]
 
-    def body(ik, carry):
-        m_prev, l_prev, acc = carry
-        ks = ik * block_k
-        k = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
-        s += gate * bias_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
-        s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
+        def body(ik, carry, hi=hi, q=q, gate=gate):
+            m_prev, l_prev, acc = carry
+            ks = ik * block_k
+            k = k_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK]
+            s += gate * bias_ref[hi, :, pl.ds(ks, block_k)].astype(jnp.float32)
+            s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
 
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur)
-        l_cur = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_cur, l_cur, acc
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_cur)
+            p = jnp.exp(s - m_cur)
+            l_cur = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            v = v_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_cur, l_cur, acc
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
 
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[:] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[:] = (m + jnp.log(l_safe)).astype(jnp.float32)
+        l_safe = jnp.maximum(l, 1e-30)
+        o_ref[hi] = (acc / l_safe).astype(o_ref.dtype)
+        lse_ref[hi] = (m + jnp.log(l_safe)).astype(jnp.float32)
 
 
 def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
          interpret: bool):
     b, h, t, d = q.shape
     nq = t // block_q
-    grid = (b, h, nq)
+    grid = (b, nq)
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
     )
@@ -102,25 +104,23 @@ def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_q, d), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, 1),
-                         lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_q, 1), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, t), lambda b_, h_, i: (h_, i, 0),
+            pl.BlockSpec((h, block_q, t), lambda b_, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, t), lambda b_, h_, i: (b_, 0, 0),
+            pl.BlockSpec((None, 1, t), lambda b_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_q, d), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, 1),
-                         lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_q, 1), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -133,106 +133,103 @@ def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
 
 
 # ---------------------------------------------------------------------------
-# backward: dq, dgate, dpos_bias  (grid: head, q-block, batch-innermost so
-# the dpos_bias block accumulates over contiguous grid steps)
+# backward: dq, dgate, dpos_bias — grid (q-blocks, batch-innermost) so the
+# dpos_bias block accumulates over contiguous grid steps
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
                    v_ref, lse_ref, delta_ref,
                    dq_ref, dgate_ref, dbias_ref, *, block_k: int,
                    scale: float):
-    t = k_ref.shape[0]
-    bq, d = q_ref.shape
+    h, bq, d = q_ref.shape
+    t = k_ref.shape[1]
     nk = t // block_k
-    ib = pl.program_id(2)
-
-    q = q_ref[:].astype(jnp.float32) * scale
-    gate = gate_ref[:].astype(jnp.float32)   # [BQ, 1]
-    lse = lse_ref[:].astype(jnp.float32)     # [BQ, 1]
-    delta = delta_ref[:].astype(jnp.float32) # [BQ, 1]
-    do = do_ref[:].astype(jnp.float32)
+    ib = pl.program_id(1)
 
     @pl.when(ib == 0)
     def _():
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    def body(ik, carry):
-        dq_acc, dgate_acc = carry
-        ks = ik * block_k
-        k = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        bias = bias_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s += gate * bias
-        s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
-        p = jnp.exp(s - lse)
-        v = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)  # [BQ, BK]
-        dq_acc += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dgate_acc += jnp.sum(ds * bias, axis=1, keepdims=True)
-        dbias_ref[:, pl.ds(ks, block_k)] += (gate * ds).astype(
-            dbias_ref.dtype
-        )
-        return dq_acc, dgate_acc
+    for hi in range(h):
+        q = q_ref[hi].astype(jnp.float32) * scale
+        gate = gate_ref[hi].astype(jnp.float32)
+        lse = lse_ref[hi].astype(jnp.float32)
+        delta = delta_ref[hi].astype(jnp.float32)
+        do = do_ref[hi].astype(jnp.float32)
 
-    dq0 = jnp.zeros((bq, d), jnp.float32)
-    dg0 = jnp.zeros((bq, 1), jnp.float32)
-    dq, dgate = jax.lax.fori_loop(0, nk, body, (dq0, dg0))
-    dq_ref[:] = dq.astype(dq_ref.dtype)
-    dgate_ref[:] = dgate.astype(dgate_ref.dtype)
+        def body(ik, carry, hi=hi, q=q, gate=gate, lse=lse, delta=delta,
+                 do=do):
+            dq_acc, dgate_acc = carry
+            ks = ik * block_k
+            k = k_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            bias = bias_ref[hi, :, pl.ds(ks, block_k)].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s += gate * bias
+            s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
+            p = jnp.exp(s - lse)
+            v = v_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta)  # [BQ, BK]
+            dq_acc += jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dgate_acc += jnp.sum(ds * bias, axis=1, keepdims=True)
+            dbias_ref[hi, :, pl.ds(ks, block_k)] += (gate * ds).astype(
+                dbias_ref.dtype
+            )
+            return dq_acc, dgate_acc
+
+        dq0 = jnp.zeros((bq, d), jnp.float32)
+        dg0 = jnp.zeros((bq, 1), jnp.float32)
+        dq, dgate = jax.lax.fori_loop(0, nk, body, (dq0, dg0))
+        dq_ref[hi] = dq.astype(dq_ref.dtype)
+        dgate_ref[hi] = dgate.astype(dgate_ref.dtype)
 
 
 def _bwd_dq(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
             block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
     nq = t // block_q
-    grid = (h, nq, b)  # batch innermost: dbias block accumulates contiguously
+    grid = (nq, b)  # batch innermost: dbias block accumulates contiguously
     kernel = functools.partial(
         _bwd_dq_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
     )
 
-    def qb(h_, i, b_):
-        return (b_, h_, i, 0)
+    def qb(i, b_):
+        return (b_, 0, i, 0)
+
+    def row(i, b_):
+        return (b_, 0, i, 0)
 
     dq, dgate, dbias = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), lambda h_, i, b_: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, t, d), lambda i, b_: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, 1),
-                         lambda h_, i, b_: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, block_q, t), lambda i, b_: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, t), lambda h_, i, b_: (h_, i, 0),
+            pl.BlockSpec((None, 1, t), lambda i, b_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, t), lambda h_, i, b_: (b_, 0, 0),
+            pl.BlockSpec((None, h, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, t, d), lambda i, b_: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), lambda h_, i, b_: (b_, h_, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, 1),
-                         lambda h_, i, b_: (b_, h_, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, 1),
-                         lambda h_, i, b_: (b_, h_, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_q, d), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, 1),
-                         lambda h_, i, b_: (b_, h_, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, t), lambda h_, i, b_: (h_, i, 0),
+            pl.BlockSpec((None, h, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, block_q, t), lambda i, b_: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -246,63 +243,64 @@ def _bwd_dq(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
 
 
 # ---------------------------------------------------------------------------
-# backward: dk, dv  (grid: batch, head, k-block; q streamed)
+# backward: dk, dv — grid (batch, k-blocks); q streamed per head
 # ---------------------------------------------------------------------------
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
                     do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, block_q: int, scale: float):
-    t = q_ref.shape[0]
-    bk, d = k_ref.shape
+    h, t, d = q_ref.shape
+    bk = k_ref.shape[1]
     nq = t // block_q
 
-    k = k_ref[:].astype(jnp.float32)
-    madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
+    for hi in range(h):
+        k = k_ref[hi].astype(jnp.float32)
+        madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
 
-    def body(iq, carry):
-        dk_acc, dv_acc = carry
-        qs = iq * block_q
-        q = q_ref[pl.ds(qs, block_q), :].astype(jnp.float32) * scale
-        gate = gate_ref[pl.ds(qs, block_q), :].astype(jnp.float32)   # [BQ,1]
-        bias = bias_ref[pl.ds(qs, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(qs, block_q), :].astype(jnp.float32)     # [BQ,1]
-        delta = delta_ref[pl.ds(qs, block_q), :].astype(jnp.float32) # [BQ,1]
-        do = do_ref[pl.ds(qs, block_q), :].astype(jnp.float32)
+        def body(iq, carry, hi=hi, k=k, madd=madd):
+            dk_acc, dv_acc = carry
+            qs = iq * block_q
+            q = q_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32) * scale
+            gate = gate_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
+            bias = bias_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
+            lse = lse_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
+            delta = delta_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
+            do = do_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s += gate * bias + madd
-        p = jnp.exp(s - lse)  # [BQ, BK]
-        dv_acc += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        v = v_ref[:].astype(jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)
-        dk_acc += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # q already carries `scale`
-        return dk_acc, dv_acc
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s += gate * bias + madd
+            p = jnp.exp(s - lse)  # [BQ, BK]
+            dv_acc += jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            v = v_ref[hi].astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta)
+            dk_acc += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # q already carries `scale`
+            return dk_acc, dv_acc
 
-    dk0 = jnp.zeros((bk, d), jnp.float32)
-    dv0 = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
-    dk_ref[:] = dk.astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
+        dk0 = jnp.zeros((bk, d), jnp.float32)
+        dv0 = jnp.zeros((bk, d), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+        dk_ref[hi] = dk.astype(dk_ref.dtype)
+        dv_ref[hi] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dkv(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
              block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
     nk = t // block_k
-    grid = (b, h, nk)
+    grid = (b, nk)
     kernel = functools.partial(
         _bwd_dkv_kernel, block_q=block_q, scale=1.0 / (d ** 0.5)
     )
@@ -310,32 +308,29 @@ def _bwd_dkv(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1),
-                         lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, t, 1), lambda b_, i: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t, block_k), lambda b_, h_, i: (h_, 0, i),
+            pl.BlockSpec((h, t, block_k), lambda b_, i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, block_k), lambda b_, h_, i: (b_, 0, i),
+            pl.BlockSpec((None, 1, block_k), lambda b_, i: (b_, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1),
-                         lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, t, 1), lambda b_, i: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1),
-                         lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((None, h, t, 1), lambda b_, i: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -381,7 +376,7 @@ def _flash_core_bwd(block_q, block_k, res, g):
     )
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dgate.astype(gate.dtype), dbias.astype(pos_bias.dtype),
-            jnp.zeros_like(mask_add))  # gate/mask keep their 4-D/3-D layout
+            jnp.zeros_like(mask_add))
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -403,9 +398,8 @@ def flash_gated_attention(q, k, v, gate, pos_bias,
     """
     b, h, t, d = q.shape
     t_pad = _ceil_to(t, LANE)
-    # short sequences (the 5 s / 249-frame workload) run as one block per
-    # (batch, head) — no streaming-softmax overhead; longer audio streams
-    # in `block_q`/`block_k` chunks
+    # short sequences (the 5 s / 249-frame workload) run as one q block —
+    # no streaming-softmax overhead; longer audio streams in chunks
     if t_pad <= 512:
         block_q = block_k = t_pad
     else:
