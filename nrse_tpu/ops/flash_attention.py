@@ -92,11 +92,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
         lse_ref[hi] = (m + jnp.log(l_safe)).astype(jnp.float32)
 
 
+def _head_group(h: int) -> int:
+    for g in (4, 2, 1):
+        if h % g == 0:
+            return g
+    return 1
+
+
 def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
          interpret: bool):
     b, h, t, d = q.shape
     nq = t // block_q
-    grid = (b, nq)
+    g = _head_group(h)
+    grid = (b, h // g, nq)
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
     )
@@ -104,23 +112,27 @@ def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, h, block_q, d), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_q, d),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, t, d), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, t, d), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_q, 1), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_q, 1),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, block_q, t), lambda b_, i: (0, i, 0),
+            pl.BlockSpec((g, block_q, t), lambda b_, g_, i: (g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, t), lambda b_, i: (b_, 0, 0),
+            pl.BlockSpec((None, 1, t), lambda b_, g_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, h, block_q, d), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_q, d),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_q, 1), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_q, 1),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -144,7 +156,7 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
     h, bq, d = q_ref.shape
     t = k_ref.shape[1]
     nk = t // block_k
-    ib = pl.program_id(1)
+    ib = pl.program_id(2)  # batch (innermost)
 
     @pl.when(ib == 0)
     def _():
@@ -197,39 +209,38 @@ def _bwd_dq(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
             block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
     nq = t // block_q
-    grid = (nq, b)  # batch innermost: dbias block accumulates contiguously
+    g = _head_group(h)
+    # batch innermost: the dbias block accumulates over contiguous steps
+    grid = (h // g, nq, b)
     kernel = functools.partial(
         _bwd_dq_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
     )
 
-    def qb(i, b_):
-        return (b_, 0, i, 0)
-
-    def row(i, b_):
-        return (b_, 0, i, 0)
+    def qb(g_, i, b_):
+        return (b_, g_, i, 0)
 
     dq, dgate, dbias = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, h, block_q, d), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, d), lambda i, b_: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), lambda g_, i, b_: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, block_q, t), lambda i, b_: (0, i, 0),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, block_q, t), lambda g_, i, b_: (g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, t), lambda i, b_: (b_, 0, 0),
+            pl.BlockSpec((None, 1, t), lambda g_, i, b_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_q, d), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, d), lambda i, b_: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), lambda g_, i, b_: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, h, block_q, d), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_q, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, block_q, t), lambda i, b_: (0, i, 0),
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, block_q, t), lambda g_, i, b_: (g_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -300,7 +311,8 @@ def _bwd_dkv(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
              block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
     nk = t // block_k
-    grid = (b, nk)
+    g = _head_group(h)
+    grid = (b, h // g, nk)
     kernel = functools.partial(
         _bwd_dkv_kernel, block_q=block_q, scale=1.0 / (d ** 0.5)
     )
@@ -308,29 +320,33 @@ def _bwd_dkv(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, t, d), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_k, d),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_k, d),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, 1), lambda b_, i: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, t, 1), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, t, block_k), lambda b_, i: (0, 0, i),
+            pl.BlockSpec((g, t, block_k), lambda b_, g_, i: (g_, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, block_k), lambda b_, i: (b_, 0, i),
+            pl.BlockSpec((None, 1, block_k), lambda b_, g_, i: (b_, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, d), lambda b_, i: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, t, d), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, 1), lambda b_, i: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, t, 1), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, t, 1), lambda b_, i: (b_, 0, 0, 0),
+            pl.BlockSpec((None, g, t, 1), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_k, d),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, block_k, d), lambda b_, i: (b_, 0, i, 0),
+            pl.BlockSpec((None, g, block_k, d),
+                         lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
