@@ -42,7 +42,7 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     batch = int(os.environ.get("NRSE_BENCH_BATCH", 36))
-    clip_seconds = 5.0
+    clip_seconds = float(os.environ.get("NRSE_BENCH_SECONDS", 5.0))
     t = int(16000 * clip_seconds)
     warmup = int(os.environ.get("NRSE_BENCH_WARMUP", 3))
     iters = int(os.environ.get("NRSE_BENCH_ITERS", 10))
@@ -119,7 +119,8 @@ def main():
 
     audio_sec_per_sec = batch * clip_seconds / dt
     print(json.dumps({
-        "metric": "BYOL pretrain throughput (WavLM-large, bs%d, 5s clips, fused step)" % batch
+        "metric": "BYOL pretrain throughput (WavLM-large, bs%d, %gs clips, fused step)"
+                  % (batch, clip_seconds)
                   if on_tpu else "BYOL pretrain throughput (tiny CPU smoke)",
         "value": round(audio_sec_per_sec, 2),
         "unit": "audio-sec/sec/chip",
