@@ -92,9 +92,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
         lse_ref[hi] = (m + jnp.log(l_safe)).astype(jnp.float32)
 
 
-def _head_group(h: int) -> int:
-    for g in (4, 2, 1):
-        if h % g == 0:
+def _head_group(h: int, t: int = 256, block_q: int = 256,
+                d: int = 64) -> int:
+    """Heads per grid step, sized to the VMEM budget.
+
+    Dominant per-head block bytes (bwd_dq worst case): two f32
+    [block_q, t] bias tiles + bf16 K/V [t, d] + assorted row blocks;
+    Pallas double-buffers inputs, so target ~5 MB of single-buffered
+    blocks within the 16 MB VMEM.
+    """
+    per_head = block_q * t * 4 * 2 + t * d * 2 * 2 + block_q * d * 10
+    budget = 5 * 1024 * 1024
+    for g in (8, 4, 2, 1):
+        if h % g == 0 and g * per_head <= budget:
             return g
     return 1
 
@@ -103,7 +113,7 @@ def _fwd(q, k, v, gate, pos_bias, mask_add, *, block_q: int, block_k: int,
          interpret: bool):
     b, h, t, d = q.shape
     nq = t // block_q
-    g = _head_group(h)
+    g = _head_group(h, t, block_q, d)
     grid = (b, h // g, nq)
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
@@ -209,7 +219,7 @@ def _bwd_dq(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
             block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
     nq = t // block_q
-    g = _head_group(h)
+    g = _head_group(h, t, block_q, d)
     # batch innermost: the dbias block accumulates over contiguous steps
     grid = (h // g, nq, b)
     kernel = functools.partial(
@@ -311,7 +321,7 @@ def _bwd_dkv(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
              block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
     nk = t // block_k
-    g = _head_group(h)
+    g = _head_group(h, t, block_k, d)
     grid = (b, h // g, nk)
     kernel = functools.partial(
         _bwd_dkv_kernel, block_q=block_q, scale=1.0 / (d ** 0.5)
