@@ -55,19 +55,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
     h, bq, d = q_ref.shape
     t = k_ref.shape[1]
     nk = t // block_k
+    # matmuls run at the input precision (bf16 inputs -> full MXU rate,
+    # f32 accumulation via preferred_element_type); softmax math is f32
+    mm = q_ref.dtype
 
     for hi in range(h):
-        q = q_ref[hi].astype(jnp.float32) * scale
+        q = q_ref[hi]
         gate = gate_ref[hi].astype(jnp.float32)  # [BQ, 1]
 
         def body(ik, carry, hi=hi, q=q, gate=gate):
             m_prev, l_prev, acc = carry
             ks = ik * block_k
-            k = k_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            k = k_ref[hi, pl.ds(ks, block_k), :]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [BQ, BK]
+            ) * scale  # [BQ, BK]
             s += gate * bias_ref[hi, :, pl.ds(ks, block_k)].astype(jnp.float32)
             s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
 
@@ -75,9 +78,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
             alpha = jnp.exp(m_prev - m_cur)
             p = jnp.exp(s - m_cur)
             l_cur = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-            v = v_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            v = v_ref[hi, pl.ds(ks, block_k), :]
             acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(mm), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return m_cur, l_cur, acc
@@ -172,34 +175,35 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, bias_ref, madd_ref, do_ref,
     def _():
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
+    mm = q_ref.dtype
     for hi in range(h):
-        q = q_ref[hi].astype(jnp.float32) * scale
+        q = q_ref[hi]
         gate = gate_ref[hi].astype(jnp.float32)
         lse = lse_ref[hi].astype(jnp.float32)
         delta = delta_ref[hi].astype(jnp.float32)
-        do = do_ref[hi].astype(jnp.float32)
+        do = do_ref[hi]
 
         def body(ik, carry, hi=hi, q=q, gate=gate, lse=lse, delta=delta,
                  do=do):
             dq_acc, dgate_acc = carry
             ks = ik * block_k
-            k = k_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            k = k_ref[hi, pl.ds(ks, block_k), :]
             bias = bias_ref[hi, :, pl.ds(ks, block_k)].astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) * scale
             s += gate * bias
             s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
             p = jnp.exp(s - lse)
-            v = v_ref[hi, pl.ds(ks, block_k), :].astype(jnp.float32)
+            v = v_ref[hi, pl.ds(ks, block_k), :]
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - delta)  # [BQ, BK]
+            ds = p * (dp - delta)  # [BQ, BK], f32
             dq_acc += jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())),
+                ds.astype(mm), k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             dgate_acc += jnp.sum(ds * bias, axis=1, keepdims=True)
@@ -274,40 +278,41 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
     bk = k_ref.shape[1]
     nq = t // block_q
 
+    mm = q_ref.dtype
     for hi in range(h):
-        k = k_ref[hi].astype(jnp.float32)
+        k = k_ref[hi]
         madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
 
         def body(iq, carry, hi=hi, k=k, madd=madd):
             dk_acc, dv_acc = carry
             qs = iq * block_q
-            q = q_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32) * scale
+            q = q_ref[hi, pl.ds(qs, block_q), :]
             gate = gate_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
             bias = bias_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
             lse = lse_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
             delta = delta_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
-            do = do_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
+            do = do_ref[hi, pl.ds(qs, block_q), :]
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) * scale
             s += gate * bias + madd
             p = jnp.exp(s - lse)  # [BQ, BK]
             dv_acc += jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
+                p.astype(mm), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            v = v_ref[hi].astype(jnp.float32)
+            v = v_ref[hi]
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - delta)
-            dk_acc += jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
+            dk_acc += (jax.lax.dot_general(
+                ds.astype(mm), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # q already carries `scale`
+            ) * scale)
             return dk_acc, dv_acc
 
         dk0 = jnp.zeros((bk, d), jnp.float32)
