@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nrse_tpu.ops.attention import gated_bias_attention
-from nrse_tpu.ops.rel_pos_bias import compute_position_bias
+from nrse_tpu.ops.rel_pos_bias import compute_position_bias, relative_position_buckets
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +84,12 @@ class WavLMConfig:
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
+    # gather the [H,T,T] position bias per layer from the [buckets,H] table
+    # instead of broadcasting a precomputed tensor into the scan — the
+    # scan's cotangent then accumulates on the tiny table, unlocking long
+    # sequences. "auto" = on for T > 512.
+    per_layer_pos_bias: Any = "auto"
+
 
     @property
     def head_dim(self) -> int:
@@ -318,6 +324,10 @@ class EncoderLayer(nn.Module):
 
     def _body(self, hidden, pos_bias, key_padding_mask, deterministic):
         cfg = self.config
+        if isinstance(pos_bias, tuple):  # per-layer gather from the table
+            embed, buckets = pos_bias
+            pos_bias = jnp.transpose(jnp.take(embed, buckets, axis=0),
+                                     (2, 0, 1))
         ln = partial(
             nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
             param_dtype=cfg.param_dtype,
@@ -413,10 +423,20 @@ class WavLMTransformerEncoder(nn.Module):
             (cfg.num_buckets, cfg.num_attention_heads), cfg.param_dtype,
         )
         t = hidden.shape[1]
-        pos_bias = compute_position_bias(
-            rel_attn_embed.astype(jnp.float32), t, t,
-            cfg.num_buckets, cfg.max_bucket_distance,
-        )
+        per_layer = cfg.per_layer_pos_bias
+        if per_layer == "auto":
+            per_layer = t > 512
+        if per_layer:
+            # factored form: (table, constant bucket matrix); each layer
+            # gathers its own [H,T,T] tile (remat-friendly, tiny cotangent)
+            buckets = jnp.asarray(relative_position_buckets(
+                t, t, cfg.num_buckets, cfg.max_bucket_distance))
+            pos_bias = (rel_attn_embed.astype(jnp.float32), buckets)
+        else:
+            pos_bias = compute_position_bias(
+                rel_attn_embed.astype(jnp.float32), t, t,
+                cfg.num_buckets, cfg.max_bucket_distance,
+            )
 
         body_cls = _ScanLayer
         if cfg.remat in (True, "full"):

@@ -150,3 +150,28 @@ def test_wavlm_encoder_wrapper_api():
     np.testing.assert_allclose(np.asarray(seq3), np.asarray(seq), atol=1e-6)
     pooled = enc.encode_pooled(x)
     assert pooled.shape == (2, 64)
+
+
+def test_per_layer_pos_bias_equivalence(tiny_pair):
+    """Per-layer table gather == precomputed broadcast bias."""
+    hf, cfg = tiny_pair
+    import dataclasses
+
+    params = hf_wavlm_to_params(hf.state_dict(), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 8000)).astype(np.float32))
+    base, _ = WavLMModel(cfg).apply(params, x)
+    cfg_pl = dataclasses.replace(cfg, per_layer_pos_bias=True)
+    per_layer, _ = WavLMModel(cfg_pl).apply(params, x)
+    np.testing.assert_allclose(np.asarray(per_layer), np.asarray(base),
+                               atol=1e-5)
+
+    # gradients flow to the table in both modes
+    def loss(p, c):
+        seq, pooled = WavLMModel(c).apply(p, x)
+        return jnp.sum(pooled**2)
+
+    g_base = jax.grad(loss)(params, cfg)["params"]["encoder"]["rel_attn_embed"]
+    g_pl = jax.grad(loss)(params, cfg_pl)["params"]["encoder"]["rel_attn_embed"]
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_base),
+                               rtol=1e-4, atol=1e-6)
