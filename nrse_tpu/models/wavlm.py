@@ -43,7 +43,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nrse_tpu.ops.attention import gated_bias_attention
-from nrse_tpu.ops.rel_pos_bias import compute_position_bias, relative_position_buckets
+from nrse_tpu.ops.rel_pos_bias import (
+    compute_position_bias,
+    relative_position_buckets_jnp,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -427,11 +430,13 @@ class WavLMTransformerEncoder(nn.Module):
         if per_layer == "auto":
             per_layer = t > 512
         if per_layer:
-            # factored form: (table, constant bucket matrix); each layer
-            # gathers its own [H,T,T] tile (remat-friendly, tiny cotangent)
-            buckets = jnp.asarray(relative_position_buckets(
-                t, t, cfg.num_buckets, cfg.max_bucket_distance))
-            pos_bias = (rel_attn_embed.astype(jnp.float32), buckets)
+            # factored form: (table, on-device bucket matrix); each layer
+            # gathers its own [H,T,T] tile (remat-friendly, tiny cotangent).
+            # The table is cast to the compute dtype so the transient tile
+            # is half-size at long T.
+            buckets = relative_position_buckets_jnp(
+                t, t, cfg.num_buckets, cfg.max_bucket_distance)
+            pos_bias = (rel_attn_embed.astype(cfg.dtype), buckets)
         else:
             pos_bias = compute_position_bias(
                 rel_attn_embed.astype(jnp.float32), t, t,

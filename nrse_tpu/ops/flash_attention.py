@@ -260,7 +260,7 @@ def _bwd_dq(q, k, v, gate, pos_bias, mask_add, do, lse, delta, *,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
-            jax.ShapeDtypeStruct((h, t, t), jnp.float32),
+            jax.ShapeDtypeStruct((h, t, t), pos_bias.dtype),
         ],
         interpret=interpret,
     )(q, k, gate, pos_bias, mask_add, do, v, lse, delta)
@@ -454,8 +454,7 @@ def flash_gated_attention(q, k, v, gate, pos_bias,
     gate4 = gate[..., None]                               # [B,H,Tp,1]
     mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
-    out = _flash_core(q, k, v, gate4, pos_bias.astype(jnp.float32),
-                      mask_add, block_q, block_k)
+    out = _flash_core(q, k, v, gate4, pos_bias, mask_add, block_q, block_k)
     if pad_t:
         out = out[:, :, :t, :]
     return out

@@ -74,3 +74,34 @@ def compute_position_bias(rel_attn_embed, query_length: int, key_length: int,
     )
     values = jnp.take(rel_attn_embed, buckets, axis=0)  # [T_q, T_k, H]
     return jnp.transpose(values, (2, 0, 1))
+
+
+def relative_position_buckets_jnp(query_length: int, key_length: int,
+                                  num_buckets: int = 320,
+                                  max_distance: int = 800):
+    """On-device bucket matrix from iota (same math as the numpy version).
+
+    Computed inside jit so no giant [T, T] integer *literal* is baked into
+    the program — XLA fuses the index math into the downstream gather
+    (a materialised int32 constant gets a catastrophically padded layout).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    half = num_buckets // 2
+    ctx = jax.lax.broadcasted_iota(jnp.int32, (query_length, key_length), 0)
+    mem = jax.lax.broadcasted_iota(jnp.int32, (query_length, key_length), 1)
+    rel = mem - ctx
+
+    buckets = jnp.where(rel > 0, half, 0)
+    rel_abs = jnp.abs(rel)
+    max_exact = half // 2
+    is_small = rel_abs < max_exact
+
+    rel_large = jnp.log(jnp.maximum(rel_abs.astype(jnp.float32), 1.0)
+                        / max_exact)
+    rel_large = rel_large / math.log(max_distance / max_exact)
+    rel_large = (max_exact + rel_large * (half - max_exact)).astype(jnp.int32)
+    rel_large = jnp.minimum(rel_large, half - 1)
+
+    return buckets + jnp.where(is_small, rel_abs, rel_large)

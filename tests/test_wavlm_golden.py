@@ -175,3 +175,15 @@ def test_per_layer_pos_bias_equivalence(tiny_pair):
     g_pl = jax.grad(loss)(params, cfg_pl)["params"]["encoder"]["rel_attn_embed"]
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_base),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_jnp_buckets_match_numpy():
+    from nrse_tpu.ops.rel_pos_bias import (
+        relative_position_buckets,
+        relative_position_buckets_jnp,
+    )
+
+    for t in (37, 250, 800):
+        ref = relative_position_buckets(t, t, 320, 800)
+        ours = np.asarray(relative_position_buckets_jnp(t, t, 320, 800))
+        np.testing.assert_array_equal(ours, ref)
