@@ -24,10 +24,117 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_AUDIO_SEC_PER_SEC = 120.0  # dev.ipynb cell 37 (36*5s / 1.5s)
 
 
+def run_flash_check():
+    """On-device flash-vs-XLA parity (NRSE_BENCH_CHECK=1).
+
+    The CPU test suite only exercises the kernels in interpret mode
+    (``ops/flash_attention.py::_interpret``); this asserts Mosaic-compiled
+    forward AND gradient parity on the real chip, at the 5 s single-block
+    shape and a multi-block streaming shape.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.ops.attention import gated_bias_attention
+    from nrse_tpu.ops.flash_attention import flash_gated_attention
+    from nrse_tpu.ops.rel_pos_bias import dense_bias_from_rel
+
+    results = {}
+    for t in (250, 1024):
+        b, h, d = 2, 16, 64
+        rng = np.random.default_rng(t)
+        q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)),
+                               jnp.bfloat16) for _ in range(3))
+        gate = jnp.asarray(rng.uniform(0.5, 2.5, (b, h, t)), jnp.float32)
+        brel = jnp.asarray(0.5 * rng.standard_normal((h, 2 * t)), jnp.float32)
+        lengths = np.asarray([t, t - t // 4])[:, None]
+        mask = jnp.asarray(
+            (np.arange(t)[None, :] < lengths).astype(np.int32)
+        ) if t > 250 else None
+
+        def loss_flash(q, k, v, gate, brel):
+            o = flash_gated_attention(q, k, v, gate, brel, mask)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(q, k, v, gate, brel):
+            o = gated_bias_attention(q, k, v, gate,
+                                     dense_bias_from_rel(brel, t), mask)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        vg_f = jax.jit(jax.value_and_grad(loss_flash, argnums=(0, 3, 4)))
+        vg_r = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 3, 4)))
+        lf, gf = vg_f(q, k, v, gate, brel)
+        lr, gr = vg_r(q, k, v, gate, brel)
+        errs = [abs(float(lf) - float(lr)) / abs(float(lr))]
+        for a, b_ in zip(gf, gr):
+            a = np.asarray(a, np.float32)
+            b_ = np.asarray(b_, np.float32)
+            errs.append(float(np.abs(a - b_).max() /
+                              max(np.abs(b_).max(), 1e-3)))
+        worst = max(errs)
+        results[t] = worst
+        assert worst < 5e-2, (
+            f"flash-vs-XLA parity FAILED on TPU at T={t}: rel err {worst}"
+        )
+        print(f"# check: T={t} flash-vs-XLA fwd+grad max rel err "
+              f"{worst:.2e} OK", file=sys.stderr, flush=True)
+    return results
+
+
+def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
+    """Generate (once) a WAV corpus at /tmp for the data-fed bench mode."""
+    import numpy as np
+
+    from nrse_tpu.audio.io import save_wav
+
+    root = os.environ.get(
+        "NRSE_BENCH_CORPUS_DIR", f"/tmp/nrse_bench_corpus_{n_clean}"
+    )
+    clean_dir = os.path.join(root, "clean")
+    noise_dir = os.path.join(root, "noise")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return clean_dir, noise_dir
+    os.makedirs(clean_dir, exist_ok=True)
+    os.makedirs(noise_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
+    sr = 16000
+    for i in range(n_clean):
+        dur = float(rng.uniform(0.8, 1.3) * seconds)
+        t_ax = np.arange(int(sr * dur)) / sr
+        x = 0.3 * np.sin(2 * np.pi * rng.uniform(80, 300) * t_ax)
+        x += 0.02 * rng.standard_normal(t_ax.shape)
+        save_wav(os.path.join(clean_dir, f"c{i:06d}.wav"),
+                 x.astype(np.float32), sr)
+    for i in range(n_noise):
+        n = 0.2 * rng.standard_normal(int(sr * seconds))
+        save_wav(os.path.join(noise_dir, f"n{i:06d}.wav"),
+                 n.astype(np.float32), sr)
+    with open(marker, "w") as f:
+        f.write("ok")
+    print(f"# bench: corpus {n_clean}+{n_noise} files written in "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+    return clean_dir, noise_dir
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/nrse_jax_cache_tpu")
+
+    if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":
+        check = run_flash_check()
+        print(json.dumps({
+            "metric": "flash-vs-XLA on-TPU parity (fwd+grad max rel err)",
+            "value": max(check.values()),
+            "unit": "rel-err",
+            "vs_baseline": 0,
+            "per_T": {str(t): round(v, 6) for t, v in check.items()},
+            "backend": jax.default_backend(),
+        }))
+        return
 
     import jax.numpy as jnp
     import numpy as np
@@ -89,19 +196,59 @@ def main():
     jax.block_until_ready(state.variables.online["params"])
     print(f"# bench: init done in {time.perf_counter()-t_init:.1f}s",
           file=sys.stderr, flush=True)
+    # Donation default ON: round 1's "broken donation" was the BYOL init
+    # aliasing online/target buffers (same buffer donated twice) — fixed in
+    # models/byol.py::init.  Donation lets XLA reuse the ~6 GB state for its
+    # outputs, freeing HBM headroom for lighter remat.
     step = make_byol_train_step(
         model, optimizer,
-        donate=os.environ.get("NRSE_BENCH_DONATE", "0") == "1",  # donation broken on the tunnel backend
+        donate=os.environ.get("NRSE_BENCH_DONATE", "1") == "1",
     )
-    batch_data = {
-        "clean": jnp.asarray(clean),
-        "noise": jnp.asarray(noise),
-        "snr": jnp.asarray(snr),
-    }
+
+    check = None
+    if os.environ.get("NRSE_BENCH_CHECK", "0") == "1" and on_tpu:
+        check = run_flash_check()
+
+    data_fed = os.environ.get("NRSE_BENCH_DATA", "0") == "1"
+    if data_fed:
+        # train through the real host pipeline: WAV corpus on disk →
+        # HostDataLoader (native C++ decode) → PrefetchLoader → device.
+        # The reference's 1.50 s/step includes (overlapped) DataLoader
+        # workers on a 151k-file corpus; this measures the same thing.
+        from nrse_tpu.data.loader import HostDataLoader, PrefetchLoader
+        from nrse_tpu.data.noisy_speech_dataset import NoiseRobustSpeechDataset
+
+        n_files = int(os.environ.get("NRSE_BENCH_CORPUS_N", 10000))
+        clean_dir, noise_dir = _ensure_bench_corpus(
+            n_files, max(200, n_files // 20), clip_seconds
+        )
+        dataset = NoiseRobustSpeechDataset(
+            clean_dir, noise_dir, max_audio_length=clip_seconds,
+        )
+        host_loader = HostDataLoader(
+            dataset, range(len(dataset)), batch, shuffle=True,
+            num_workers=int(os.environ.get("NRSE_BENCH_WORKERS", 8)),
+        )
+        prefetch = PrefetchLoader(host_loader, depth=2)
+
+        def batches():
+            while True:
+                for item in prefetch:
+                    item.pop("__count__", None)  # full batches (drop_last)
+                    yield item
+
+        batch_iter = iter(batches())
+    else:
+        batch_data = {
+            "clean": jnp.asarray(clean),
+            "noise": jnp.asarray(noise),
+            "snr": jnp.asarray(snr),
+        }
+        batch_iter = iter(lambda: batch_data, None)  # resident batch
 
     t_compile = time.perf_counter()
     for i in range(warmup):
-        state, metrics = step(state, batch_data)
+        state, metrics = step(state, next(batch_iter))
         jax.block_until_ready(metrics["loss"])
         print(f"# bench: warmup step {i} done at "
               f"+{time.perf_counter()-t_compile:.1f}s "
@@ -113,14 +260,15 @@ def main():
     t0 = time.perf_counter()
     with profile_trace(os.environ.get("NRSE_BENCH_PROFILE")):
         for _ in range(iters):
-            state, metrics = step(state, batch_data)
+            state, metrics = step(state, next(batch_iter))
         jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     audio_sec_per_sec = batch * clip_seconds / dt
-    print(json.dumps({
-        "metric": "BYOL pretrain throughput (WavLM-large, bs%d, %gs clips, fused step)"
-                  % (batch, clip_seconds)
+    result = {
+        "metric": "BYOL pretrain throughput (WavLM-large, bs%d, %gs clips, %s)"
+                  % (batch, clip_seconds,
+                     "data-fed step" if data_fed else "fused step")
                   if on_tpu else "BYOL pretrain throughput (tiny CPU smoke)",
         "value": round(audio_sec_per_sec, 2),
         "unit": "audio-sec/sec/chip",
@@ -128,7 +276,12 @@ def main():
         "step_time_s": round(dt, 4),
         "loss": float(metrics["loss"]),
         "backend": jax.default_backend(),
-    }))
+    }
+    if check is not None:
+        result["flash_check_max_rel_err"] = {
+            str(t): round(v, 6) for t, v in check.items()
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -38,7 +38,7 @@ def _run_eval_pass(model, state, dataloader, collect_embeddings: bool = False,
         count = int(batch.pop("__count__", len(batch["snr"])))
         jbatch = jax.tree.map(jax.numpy.asarray, batch)
         loss, sim = eval_step(state, jbatch)
-        losses.append(float(loss))
+        losses.append(np.asarray(loss)[:count])  # drop loader padding rows
         sims.append(np.asarray(sim)[:count])
         snrs.append(np.asarray(batch["snr"])[:count])
         if embed_step is not None:
@@ -63,7 +63,7 @@ def evaluate_embedding_similarity(model, state, dataloader, config
 def validate_model(model, state, val_loader, config) -> Tuple[float, Dict]:
     """Fused loss + similarity validation (reference ``:68-123``)."""
     losses, sims, snrs, _ = _run_eval_pass(model, state, val_loader)
-    avg_loss = float(np.mean(losses)) if losses else float("inf")
+    avg_loss = float(np.concatenate(losses).mean()) if losses else float("inf")
     similarities = {}
     for snr in config["data"]["snr_range"]:
         mask = snrs == float(snr)

@@ -116,12 +116,19 @@ class BYOLSpeechModel:
     # -- initialisation ----------------------------------------------------
     def init(self, rng, sample_input) -> BYOLVariables:
         """Init online tower; target starts as a copy of the shared
-        subtrees (reference ``_copy_weights``, ``byol.py:57``)."""
+        subtrees (reference ``_copy_weights``, ``byol.py:57``).
+
+        The copy must be a REAL buffer copy (``jnp.copy``), not an aliased
+        reference: the fused train step donates the whole state, and a
+        buffer appearing twice in a donated pytree makes the runtime donate
+        it twice — a runtime ``INVALID_ARGUMENT`` on TPU (this was
+        round 1's "donation is broken on this backend").
+        """
         online_vars = unfreeze(self.online.init(
             {"params": rng}, sample_input, True
         ))
         target_vars = {
-            col: {k: jax.tree.map(lambda x: x, tree[k])
+            col: {k: jax.tree.map(jnp.copy, tree[k])
                   for k in ("encoder", "projector") if k in tree}
             for col, tree in online_vars.items()
         }
@@ -202,10 +209,10 @@ class BYOLSpeechModel:
         )
 
 
-def byol_loss(online_pred, target_proj) -> jnp.ndarray:
-    """``2 − 2·mean(cosine_similarity)`` with the reference's numerical
-    guards (``byol.py:104-129``): +1e-10 offset, eps-normalisation,
-    similarity clamped to [−1, 1]."""
+def byol_loss_per_sample(online_pred, target_proj) -> jnp.ndarray:
+    """Per-sample ``2 − 2·cosine_similarity`` [B] with the reference's
+    numerical guards (``byol.py:104-129``): +1e-10 offset,
+    eps-normalisation, similarity clamped to [−1, 1]."""
     online_pred = online_pred.astype(jnp.float32) + 1e-10
     target_proj = target_proj.astype(jnp.float32) + 1e-10
     o = online_pred / jnp.maximum(
@@ -215,4 +222,16 @@ def byol_loss(online_pred, target_proj) -> jnp.ndarray:
         jnp.linalg.norm(target_proj, axis=1, keepdims=True), 1e-10
     )
     similarity = jnp.clip(jnp.sum(o * t, axis=1), -1.0, 1.0)
-    return 2.0 - 2.0 * jnp.mean(similarity)
+    return 2.0 - 2.0 * similarity
+
+
+def byol_loss(online_pred, target_proj, weights=None) -> jnp.ndarray:
+    """Mean BYOL loss; optional per-sample ``weights`` [B] mask out
+    degenerate items (e.g. invalid SNR mixes, where the 'noisy' view would
+    collapse onto the clean one — the reference drops such items in its
+    dataset retry loop, ``noisy_speech_dataset.py:56-116``)."""
+    per_sample = byol_loss_per_sample(online_pred, target_proj)
+    if weights is None:
+        return jnp.mean(per_sample)
+    w = weights.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)

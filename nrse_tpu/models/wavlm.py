@@ -45,6 +45,7 @@ from flax import linen as nn
 from nrse_tpu.ops.attention import gated_bias_attention
 from nrse_tpu.ops.rel_pos_bias import (
     compute_position_bias,
+    rel_bias_vector,
     relative_position_buckets_jnp,
 )
 
@@ -287,14 +288,16 @@ class GatedAttention(nn.Module):
             )
         else:
             out = gated_bias_attention(q, k, v, gate, pos_bias, key_padding_mask)
-            if cfg.attention_dropout > 0.0 and not deterministic:
-                # HF drops attention *probabilities*; with the factored/flash
-                # path we drop the per-head outputs instead (documented
-                # deviation — probability dropout would force materialising
-                # the [B,H,T,T] tensor this design exists to avoid).
-                out = nn.Dropout(cfg.attention_dropout)(
-                    out, deterministic=deterministic
-                )
+        if cfg.attention_dropout > 0.0 and not deterministic:
+            # HF drops attention *probabilities*; with the factored/flash
+            # path we drop the per-head outputs instead (documented
+            # deviation — probability dropout would force materialising
+            # the [B,H,T,T] tensor this design exists to avoid).  Applies
+            # to BOTH attention paths so flash training keeps the same
+            # regularisation as the XLA path.
+            out = nn.Dropout(cfg.attention_dropout)(
+                out, deterministic=deterministic
+            )
 
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, c)
         return dense(c, name="out_proj")(out)
@@ -429,11 +432,20 @@ class WavLMTransformerEncoder(nn.Module):
         per_layer = cfg.per_layer_pos_bias
         if per_layer == "auto":
             per_layer = t > 512
-        if per_layer:
-            # factored form: (table, on-device bucket matrix); each layer
-            # gathers its own [H,T,T] tile (remat-friendly, tiny cotangent).
-            # The table is cast to the compute dtype so the transient tile
-            # is half-size at long T.
+        if cfg.use_flash_attention:
+            # Toeplitz generator [H, 2T]: the flash kernel shears bias
+            # blocks out of this vector on-chip; the scan cotangent (and
+            # the table scatter-add) are O(T), so the [H, T, T] tensor
+            # never exists in HBM at any sequence length.
+            pos_bias = rel_bias_vector(
+                rel_attn_embed.astype(cfg.dtype), t,
+                cfg.num_buckets, cfg.max_bucket_distance,
+            )
+        elif per_layer:
+            # XLA path at long T — factored form: (table, on-device bucket
+            # matrix); each layer gathers its own [H,T,T] tile
+            # (remat-friendly, tiny cotangent).  The table is cast to the
+            # compute dtype so the transient tile is half-size.
             buckets = relative_position_buckets_jnp(
                 t, t, cfg.num_buckets, cfg.max_bucket_distance)
             pos_bias = (rel_attn_embed.astype(cfg.dtype), buckets)

@@ -35,14 +35,18 @@ def make_mesh(data: int = -1, model: int = 1,
     """Build a ``('data', 'model')`` mesh.
 
     ``data=-1`` consumes all remaining devices (config surface:
-    ``tpu.mesh`` in the YAML presets).
+    ``tpu.mesh`` in the YAML presets).  Explicit sizes smaller than the
+    device count take the first ``data·model`` devices — a config may
+    deliberately train on a subset (e.g. a 2-wide data mesh on an 8-chip
+    host for small-batch SER fine-tuning).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    devices = devices[: data * model]
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

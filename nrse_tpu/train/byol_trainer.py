@@ -30,7 +30,12 @@ import jax.numpy as jnp
 import optax
 
 from nrse_tpu.audio.augment import make_byol_views
-from nrse_tpu.models.byol import BYOLSpeechModel, BYOLVariables, byol_loss
+from nrse_tpu.models.byol import (
+    BYOLSpeechModel,
+    BYOLVariables,
+    byol_loss,
+    byol_loss_per_sample,
+)
 
 
 @dataclasses.dataclass
@@ -104,7 +109,10 @@ def make_byol_train_step(
                 variables, clean_views, noisy_views,
                 deterministic=False, rngs=rngs,
             )
-            loss = byol_loss(pred, proj)
+            # invalid mixes (degenerate power / exploding scale) produce a
+            # 'noisy' view identical to the clean one — mask them out of the
+            # loss rather than training on a collapsed pair
+            loss = byol_loss(pred, proj, weights=valid)
             return loss, new_vars
 
         (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -169,7 +177,9 @@ def make_byol_eval_step(model: BYOLSpeechModel,
         pred, proj, _ = model.apply(
             state.variables, clean_views, noisy_views, deterministic=True
         )
-        loss = byol_loss(pred, proj)
+        # per-sample [B] so the host can slice off loader padding rows
+        # (ragged final batches repeat the last item) before averaging
+        loss = byol_loss_per_sample(pred, proj)
 
         _, clean_emb = model.encode(state.variables, clean_views,
                                     deterministic=True)

@@ -33,6 +33,7 @@ from nrse_tpu.models.emotion import (
     apply_layer_unfreeze_to_grads,
 )
 from nrse_tpu.train.losses import ccc_loss, ce_weight_category
+from nrse_tpu.train.schedules import set_injected_learning_rate
 
 
 @dataclasses.dataclass
@@ -118,12 +119,16 @@ def make_emotion_train_step(
         grads = apply_layer_unfreeze_to_grads(grads, layer_scale)
 
         opt_state = state.opt_state
-        # dynamic LR (inject_hyperparams exposes it in the state)
-        if hasattr(opt_state, "hyperparams"):
-            opt_state.hyperparams["learning_rate"] = learning_rate
+        # dynamic LR (inject_hyperparams exposes it in the chain state)
+        set_injected_learning_rate(opt_state, learning_rate)
         updates, new_opt_state = optimizer.update(
             grads, opt_state, state.params
         )
+        # Gate the *updates* too: AdamW's decoupled weight decay would
+        # otherwise shrink the "frozen" encoder every step, unlike the
+        # reference's requires_grad freezing (frozen params stay
+        # bit-identical there).
+        updates = apply_layer_unfreeze_to_grads(updates, layer_scale)
         new_params = optax.apply_updates(state.params, updates)
         new_state = EmotionTrainState(
             params=new_params,
@@ -161,9 +166,10 @@ def make_batch_placer(config, batch_size: int):
     """(place_batch, place_state) for data-parallel execution.
 
     Builds the ``('data','model')`` mesh from ``tpu.mesh``; shards batches on
-    'data' and replicates state.  Falls back to default placement (single
-    logical device) when the batch doesn't divide the data axis — SER eval
-    loaders pad ragged batches, so training configs should divide evenly.
+    'data' and replicates state.  Raises when the batch doesn't divide the
+    data axis (same contract as ``train_byol.py``) — silently dropping to
+    unsharded execution would hide an 8× slowdown.  SER eval loaders pad
+    ragged batches, so a divisible ``batch_size`` is always satisfiable.
     """
     import jax
 
@@ -177,14 +183,11 @@ def make_batch_placer(config, batch_size: int):
     mesh = make_mesh(mesh_cfg.get("data", -1), mesh_cfg.get("model", 1))
     n_data = mesh.shape["data"]
     if batch_size % n_data != 0:
-        from nrse_tpu.utils.logging_utils import logger
-
-        logger.warning(
-            f"emotion batch_size={batch_size} not divisible by data axis "
-            f"{n_data}; running without batch sharding"
+        raise ValueError(
+            f"emotion batch_size={batch_size} must be divisible by the "
+            f"mesh 'data' axis ({n_data} devices); adjust batch_size or "
+            f"tpu.mesh in the config"
         )
-        ident = lambda tree: jax.tree.map(jnp.asarray, tree)
-        return ident, ident
 
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)

@@ -40,11 +40,28 @@ def make_byol_optimizer(learning_rate, weight_decay: float = 1e-5,
     )
 
 
-def make_emotion_optimizer(learning_rate, weight_decay: float = 1e-4):
-    """AdamW for the SER trainers (reference ``categorical_emotions.py:84``);
-    the ReduceLROnPlateau behaviour lives host-side in the trainer (it is
+def make_emotion_optimizer(learning_rate, weight_decay: float = 1e-4,
+                           clip_norm: float = 1.0):
+    """clip-by-global-norm → AdamW for the SER trainers (reference clips all
+    grads to max_norm=1.0 every step, ``categorical_emotions.py:330`` /
+    ``dimentional_emotions.py:337``, optimizer at ``categorical_emotions.py:84``).
+    The ReduceLROnPlateau behaviour lives host-side in the trainer (it is
     metric-driven), feeding this optimizer through ``optax.inject_hyperparams``.
     """
-    return optax.inject_hyperparams(optax.adamw)(
-        learning_rate=learning_rate, weight_decay=weight_decay
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, weight_decay=weight_decay
+        ),
     )
+
+
+def set_injected_learning_rate(opt_state, learning_rate) -> None:
+    """Write ``learning_rate`` into the (possibly chain-nested)
+    ``inject_hyperparams`` state in place."""
+    if hasattr(opt_state, "hyperparams"):
+        opt_state.hyperparams["learning_rate"] = learning_rate
+        return
+    if isinstance(opt_state, tuple):
+        for sub in opt_state:
+            set_injected_learning_rate(sub, learning_rate)

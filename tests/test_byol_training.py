@@ -100,7 +100,9 @@ def test_eval_step_fused(model_and_state):
     model, opt, state = model_and_state
     eval_step = make_byol_eval_step(model)
     loss, sim = eval_step(state, jax.tree.map(jnp.asarray, raw_batch()))
-    assert np.isfinite(float(loss))
+    # per-sample losses so the host can slice off loader padding rows
+    assert loss.shape == (BATCH,)
+    assert np.all(np.isfinite(np.asarray(loss)))
     assert sim.shape == (BATCH,)
     assert np.all(np.abs(np.asarray(sim)) <= 1.0 + 1e-5)
 
@@ -161,3 +163,18 @@ def test_checkpoint_roundtrip(tmp_path, model_and_state):
     resumed, metrics = step(restored, jax.tree.map(jnp.asarray, raw_batch(1)))
     assert np.isfinite(float(metrics["loss"]))
     assert int(resumed.step) == int(trained.step) + 1
+
+
+def test_init_target_buffers_not_aliased(model_and_state):
+    """The target tower must be a REAL copy of the online subtrees: a buffer
+    appearing twice in the donated train state is donated twice, which the
+    TPU runtime rejects at execution (round-1 'donation is broken' bug)."""
+    _, _, state = model_and_state
+    online = state.variables.online["params"]
+    target = state.variables.target["params"]
+    for k in target:
+        o_leaves = jax.tree.leaves(online[k])
+        t_leaves = jax.tree.leaves(target[k])
+        for o, t in zip(o_leaves, t_leaves):
+            assert o is not t
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(t))

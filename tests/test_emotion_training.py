@@ -36,7 +36,10 @@ def emo_config(mock_msp_dir, tmp_path_factory):
             "unfreeze_encoder": True, "add_noise_during_training": True,
             "use_class_weights": True, "categorical_only": True,
         },
-        "tpu": {"compute_dtype": "float32", "flash_attention": False},
+        # batch 4 must divide the data axis (the placer now raises instead
+        # of silently dropping sharding) — use 2 of the 8 virtual devices
+        "tpu": {"compute_dtype": "float32", "flash_attention": False,
+                "mesh": {"data": 2, "model": 1}},
     }
 
 
@@ -159,10 +162,9 @@ def test_batch_placer_sharding():
     placed = place_batch(batch)
     assert len(placed["input_values"].sharding.device_set) == 8
 
-    # non-divisible batch falls back to default placement
-    place_batch2, _ = make_batch_placer(cfg, batch_size=3)
-    placed2 = place_batch2({"x": np.zeros((3, 4), np.float32)})
-    assert isinstance(placed2["x"], jax.Array)
+    # non-divisible batch raises (same contract as train_byol)
+    with pytest.raises(ValueError, match="divisible"):
+        make_batch_placer(cfg, batch_size=3)
 
 
 def test_emotion_trainer_loads_byol_orbax_checkpoint(emo_config, tmp_path,
@@ -203,3 +205,71 @@ def test_emotion_trainer_loads_byol_orbax_checkpoint(emo_config, tmp_path,
     enc = load_pretrained_encoder(cfg, jnp.zeros((2, 16000)))
     assert enc is not None
     assert "feature_extractor" in enc and "encoder" in enc
+
+
+def _tiny_emotion_setup(seed=0):
+    from nrse_tpu.models.emotion import EmotionClassifier
+    from nrse_tpu.models.wavlm import WavLMConfig
+    from nrse_tpu.train.emotion_trainer import create_emotion_state
+    from nrse_tpu.train.schedules import make_emotion_optimizer
+
+    cfg = WavLMConfig.tiny(layerdrop=0.0)
+    model = EmotionClassifier(cfg, hidden_dim=32, num_emotions=8)
+    batch = {
+        "input_values": jnp.asarray(
+            np.random.default_rng(seed).standard_normal((2, 8000)),
+            jnp.float32),
+        "attention_mask": jnp.ones((2, 8000)),
+        "C": jnp.asarray([1, 3], jnp.int32),
+        "A": jnp.zeros((2,)), "V": jnp.zeros((2,)), "D": jnp.zeros((2,)),
+    }
+    opt = make_emotion_optimizer(1e-2, weight_decay=1e-2)
+    state = create_emotion_state(model, jax.random.PRNGKey(0), batch, opt)
+    return cfg, model, opt, state, batch
+
+
+def test_frozen_encoder_params_bit_identical():
+    """Phase-1 freeze: encoder params (incl. AdamW weight decay) must not
+    move at all — reference requires_grad semantics."""
+    from nrse_tpu.models.emotion import layer_gradient_scale
+    from nrse_tpu.train.emotion_trainer import make_emotion_train_step
+
+    cfg, model, opt, state, batch = _tiny_emotion_setup()
+    step = make_emotion_train_step(model, opt, "categorical",
+                                   cfg.num_hidden_layers)
+    frozen = layer_gradient_scale(cfg.num_hidden_layers, [])
+    weights = jnp.ones((8,))
+    new_state, metrics = step(state, batch, weights, frozen, 1e-2)
+    assert np.isfinite(float(metrics["loss"]))
+
+    def max_abs_diff(a, b):
+        return max(float(jnp.abs(x - y).max())
+                   for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    assert max_abs_diff(new_state.params["encoder"],
+                        state.params["encoder"]) == 0.0
+    # heads DID train
+    assert max_abs_diff(new_state.params["categorical_out"],
+                        state.params["categorical_out"]) > 0.0
+
+
+def test_emotion_optimizer_clips_gradients():
+    """SER optimizer clips to global-norm 1.0 before AdamW (reference
+    categorical_emotions.py:330 / dimentional_emotions.py:337)."""
+    import optax
+
+    from nrse_tpu.train.schedules import (
+        make_emotion_optimizer,
+        set_injected_learning_rate,
+    )
+
+    params = {"w": jnp.zeros((4,))}
+    huge = {"w": jnp.full((4,), 1e6)}
+    opt = make_emotion_optimizer(1.0, weight_decay=0.0)
+    os_ = opt.init(params)
+    set_injected_learning_rate(os_, 1.0)  # chain-nested lookup works
+    updates, _ = opt.update(huge, os_, params)
+    # after clip, adam normalises: |update| <= lr (+eps slack)
+    assert float(jnp.abs(updates["w"]).max()) <= 1.0 + 1e-5
+    # and the clip state is genuinely in the chain
+    assert isinstance(os_, tuple) and len(os_) == 2

@@ -1,8 +1,13 @@
 """Pallas flash attention vs the XLA reference implementation.
 
 Runs in interpreter mode on CPU (the kernel auto-selects); verifies both
-forward values and all five gradients (q, k, v, gate, pos_bias), with and
+forward values and all five gradients (q, k, v, gate, bias_rel), with and
 without key-padding masks and with non-128-aligned sequence lengths.
+
+The kernel consumes the position bias in Toeplitz-generator form
+``bias_rel [H, 2T]`` (entry ``[h, T-1+k-q]``); the XLA oracle expands it to
+dense ``[H, T, T]`` with ``dense_bias_from_rel`` — differentiating the
+oracle through that expansion yields the reference ``d(bias_rel)``.
 """
 
 import numpy as np
@@ -12,7 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from nrse_tpu.ops.attention import gated_bias_attention
-from nrse_tpu.ops.flash_attention import flash_gated_attention
+from nrse_tpu.ops.flash_attention import (
+    _shear_rows,
+    _shear_rows_adjoint,
+    flash_gated_attention,
+)
+from nrse_tpu.ops.rel_pos_bias import dense_bias_from_rel
 
 B, H, D = 2, 3, 16
 
@@ -23,48 +33,73 @@ def make_inputs(t, seed=0, masked=False):
     k = rng.standard_normal((B, H, t, D)).astype(np.float32)
     v = rng.standard_normal((B, H, t, D)).astype(np.float32)
     gate = rng.uniform(0.5, 2.5, (B, H, t)).astype(np.float32)
-    pos_bias = rng.standard_normal((H, t, t)).astype(np.float32)
+    bias_rel = rng.standard_normal((H, 2 * t)).astype(np.float32)
     mask = None
     if masked:
         mask = np.ones((B, t), np.int32)
         mask[1, t // 2:] = 0
-    return tuple(jnp.asarray(x) for x in (q, k, v, gate, pos_bias)), mask
+    return tuple(jnp.asarray(x) for x in (q, k, v, gate, bias_rel)), mask
+
+
+def test_shear_rows_oracle():
+    """out[i, j] = w[bq-1-i+j] (the Toeplitz row builder)."""
+    rng = np.random.default_rng(0)
+    bq, n = 8, 24
+    w = rng.standard_normal((1, n)).astype(np.float32)
+    out = np.asarray(_shear_rows(jnp.asarray(w), bq))
+    for i in range(bq):
+        for j in range(n - bq + 1):
+            assert out[i, j] == w[0, bq - 1 - i + j]
+
+
+def test_shear_rows_adjoint_oracle():
+    """Adjoint: out[p] = sum of ds over the diagonal bq-1-i+j == p."""
+    rng = np.random.default_rng(1)
+    bq, bk = 8, 16
+    n = bq + bk
+    ds = rng.standard_normal((bq, bk)).astype(np.float32)
+    out = np.asarray(_shear_rows_adjoint(jnp.asarray(ds), n))[0]
+    expected = np.zeros(n, np.float32)
+    for i in range(bq):
+        for j in range(bk):
+            expected[bq - 1 - i + j] += ds[i, j]
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
 
 
 @pytest.mark.parametrize("t,masked", [(64, False), (64, True), (100, False),
                                       (250, True)])
 def test_forward_matches_reference(t, masked):
-    (q, k, v, gate, pos_bias), mask = make_inputs(t, masked=masked)
+    (q, k, v, gate, bias_rel), mask = make_inputs(t, masked=masked)
     jmask = None if mask is None else jnp.asarray(mask)
-    ref = gated_bias_attention(q, k, v, gate, pos_bias, jmask)
-    ours = flash_gated_attention(q, k, v, gate, pos_bias, jmask,
+    dense = dense_bias_from_rel(bias_rel, t)
+    ref = gated_bias_attention(q, k, v, gate, dense, jmask)
+    ours = flash_gated_attention(q, k, v, gate, bias_rel, jmask,
                                  block_q=64, block_k=64)
     ref, ours = np.asarray(ref), np.asarray(ours)
-    if mask is not None:
-        # compare valid positions only (fully-masked rows are don't-care)
-        pass
     err = np.abs(ours - ref).max()
     assert err < 2e-5, f"max abs err {err}"
 
 
 def test_gradients_match_reference():
     t = 96
-    (q, k, v, gate, pos_bias), mask = make_inputs(t, seed=1, masked=True)
+    (q, k, v, gate, bias_rel), mask = make_inputs(t, seed=1, masked=True)
     jmask = jnp.asarray(mask)
 
-    def loss_ref(q, k, v, gate, pb):
-        o = gated_bias_attention(q, k, v, gate, pb, jmask)
+    def loss_ref(q, k, v, gate, brel):
+        o = gated_bias_attention(q, k, v, gate,
+                                 dense_bias_from_rel(brel, t), jmask)
         return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
 
-    def loss_flash(q, k, v, gate, pb):
-        o = flash_gated_attention(q, k, v, gate, pb, jmask,
+    def loss_flash(q, k, v, gate, brel):
+        o = flash_gated_attention(q, k, v, gate, brel, jmask,
                                   block_q=32, block_k=32)
         return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
 
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, gate, pos_bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, gate,
+                                                        bias_rel)
     g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, gate,
-                                                            pos_bias)
-    names = ["dq", "dk", "dv", "dgate", "dpos_bias"]
+                                                            bias_rel)
+    names = ["dq", "dk", "dv", "dgate", "dbias_rel"]
     for name, a, b in zip(names, g_ref, g_flash):
         a, b = np.asarray(a), np.asarray(b)
         denom = np.abs(a).max() + 1e-6
@@ -74,11 +109,11 @@ def test_gradients_match_reference():
 
 def test_bf16_inputs():
     t = 64
-    (q, k, v, gate, pos_bias), _ = make_inputs(t, seed=2)
+    (q, k, v, gate, bias_rel), _ = make_inputs(t, seed=2)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
-    ref = gated_bias_attention(qb, kb, vb, gate, pos_bias)
-    ours = flash_gated_attention(qb, kb, vb, gate, pos_bias,
-                                 block_q=64, block_k=64)
+    ref = gated_bias_attention(qb, kb, vb, gate,
+                               dense_bias_from_rel(bias_rel, t))
+    ours = flash_gated_attention(qb, kb, vb, gate, bias_rel)
     err = np.abs(np.asarray(ours, np.float32) - np.asarray(ref, np.float32)).max()
     assert err < 3e-2  # bf16 tolerance
 
@@ -103,29 +138,59 @@ def test_model_parity_with_flash_flag():
     assert err < 5e-4, err
 
 
+def test_model_gradient_parity_with_flash_flag():
+    """d(table) flows through the kernel's dbias_rel path — compare the
+    full-model gradient (incl. the rel_attn_embed table) flash vs XLA."""
+    from nrse_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 4000)).astype(np.float32)
+    )
+    cfg_ref = WavLMConfig.tiny(layerdrop=0.0)
+    params = WavLMModel(cfg_ref).init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(params, cfg):
+        _, pooled = WavLMModel(cfg).apply(params, x)
+        return jnp.sum(pooled ** 2)
+
+    g_ref = jax.grad(loss)(params, cfg_ref)
+    g_flash = jax.grad(loss)(
+        params, WavLMConfig.tiny(layerdrop=0.0, use_flash_attention=True))
+    ref_leaves = jax.tree.leaves(g_ref)
+    for a, b in zip(ref_leaves, jax.tree.leaves(g_flash)):
+        a, b = np.asarray(a), np.asarray(b)
+        # floor the denominator: leaves with analytically-zero gradients
+        # (e.g. k_proj bias — softmax is invariant to per-row score shifts)
+        # are pure roundoff in both implementations
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-3)
+        assert err < 2e-3, err
+
+
 def test_streaming_multiblock_path():
     """T > 512 exercises the blockwise streaming softmax (short T takes the
     single-block fast path)."""
     t = 640
-    (q, k, v, gate, pos_bias), mask = make_inputs(t, seed=3, masked=True)
+    (q, k, v, gate, bias_rel), mask = make_inputs(t, seed=3, masked=True)
     jmask = jnp.asarray(mask)
-    ref = gated_bias_attention(q, k, v, gate, pos_bias, jmask)
-    ours = flash_gated_attention(q, k, v, gate, pos_bias, jmask,
+    dense = dense_bias_from_rel(bias_rel, t)
+    ref = gated_bias_attention(q, k, v, gate, dense, jmask)
+    ours = flash_gated_attention(q, k, v, gate, bias_rel, jmask,
                                  block_q=128, block_k=128)
     err = np.abs(np.asarray(ours) - np.asarray(ref)).max()
     assert err < 3e-5, err
 
-    def loss(q, k, v, gate, pb):
-        o = flash_gated_attention(q, k, v, gate, pb, jmask,
+    def loss(q, k, v, gate, brel):
+        o = flash_gated_attention(q, k, v, gate, brel, jmask,
                                   block_q=128, block_k=128)
         return jnp.sum(o * 0.001 * jnp.arange(o.size).reshape(o.shape))
 
-    def loss_ref(q, k, v, gate, pb):
-        o = gated_bias_attention(q, k, v, gate, pb, jmask)
+    def loss_ref(q, k, v, gate, brel):
+        o = gated_bias_attention(q, k, v, gate,
+                                 dense_bias_from_rel(brel, t), jmask)
         return jnp.sum(o * 0.001 * jnp.arange(o.size).reshape(o.shape))
 
-    g = jax.grad(loss, argnums=(0, 3, 4))(q, k, v, gate, pos_bias)
-    gr = jax.grad(loss_ref, argnums=(0, 3, 4))(q, k, v, gate, pos_bias)
+    g = jax.grad(loss, argnums=(0, 3, 4))(q, k, v, gate, bias_rel)
+    gr = jax.grad(loss_ref, argnums=(0, 3, 4))(q, k, v, gate, bias_rel)
     for a, b in zip(g, gr):
         err = np.abs(np.asarray(a) - np.asarray(b)).max() / \
             (np.abs(np.asarray(b)).max() + 1e-6)

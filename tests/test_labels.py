@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -76,3 +77,55 @@ def test_one_hot():
     oh = emotion_to_one_hot("H")
     assert oh[BASELINE_EMOTIONS_MAP["H"]] == 1.0 and oh.sum() == 1.0
     assert emotion_to_one_hot("X").sum() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# the real MSP-Podcast v1.11 eval lists shipped in labels/ (reference data
+# fixtures: /root/reference/labels/*.txt — copied verbatim, they are data)
+# ---------------------------------------------------------------------------
+
+REPO_LABELS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "labels")
+
+
+@pytest.mark.skipif(not os.path.isdir(REPO_LABELS),
+                    reason="label fixtures not present")
+def test_real_test2_lists_parse():
+    entries = parse_label_list(
+        os.path.join(REPO_LABELS, "msp1_11-test2-clean.txt"))
+    assert len(entries) == 14815
+    # every row carries a path, an emotion code, and finite A/V/D
+    e0 = entries[0]
+    assert e0.path.endswith(".wav")
+    assert all(np.isfinite([e0.arousal, e0.valence, e0.dominance]))
+    # the snr8 variant references the same utterances (snr-suffixed names)
+    noisy = parse_label_list(
+        os.path.join(REPO_LABELS, "msp1_11-test2-snr8.txt"))
+    assert len(noisy) == 14815
+    assert "_snr8_" in noisy[1].path
+
+
+@pytest.mark.skipif(not os.path.isdir(REPO_LABELS),
+                    reason="label fixtures not present")
+def test_real_processed_lists_are_xo_filtered():
+    for name in ("msp1_11-test2-clean_processed.txt",
+                 "msp1_11-test2-snr8_processed.txt"):
+        entries = parse_label_list(
+            os.path.join(REPO_LABELS, "processed", name))
+        assert len(entries) == 11411  # 14815 minus X/O rows
+        assert all(e.emo_class not in ("X", "O") for e in entries)
+
+
+@pytest.mark.skipif(not os.path.isdir(REPO_LABELS),
+                    reason="label fixtures not present")
+def test_real_processed_matches_fresh_filtering(tmp_path):
+    """process_txt equivalent on the raw list reproduces the shipped
+    processed list (same kept rows, same order)."""
+    out = tmp_path / "re_processed.txt"
+    filter_label_list(os.path.join(REPO_LABELS, "msp1_11-test2-snr8.txt"),
+                      str(out))
+    ours = out.read_text().strip().splitlines()
+    shipped = open(os.path.join(
+        REPO_LABELS, "processed", "msp1_11-test2-snr8_processed.txt"
+    )).read().strip().splitlines()
+    assert ours == shipped

@@ -134,3 +134,24 @@ def test_frame_length_formula():
     np.testing.assert_array_equal(lens, [(80000 - 1) // 320 + 1,
                                          (16000 - 1) // 320 + 1,
                                          (321 - 1) // 320 + 1])
+
+
+def test_byol_loss_weights_mask_invalid_items(rng):
+    from nrse_tpu.models.byol import byol_loss, byol_loss_per_sample
+
+    pred = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    proj = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    per = np.asarray(byol_loss_per_sample(pred, proj))
+    assert per.shape == (6,)
+    np.testing.assert_allclose(
+        float(byol_loss(pred, proj)), per.mean(), rtol=1e-6
+    )
+    # masking: weighted loss over the valid subset only
+    valid = jnp.asarray([True, True, False, True, False, True])
+    expected = per[np.asarray(valid)].mean()
+    np.testing.assert_allclose(
+        float(byol_loss(pred, proj, weights=valid)), expected, rtol=1e-6
+    )
+    # degenerate all-invalid batch: finite (0/max(0,1)), not NaN
+    none_valid = jnp.zeros((6,), bool)
+    assert np.isfinite(float(byol_loss(pred, proj, weights=none_valid)))
