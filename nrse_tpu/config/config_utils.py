@@ -135,7 +135,10 @@ def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
         em.setdefault("add_noise_during_training", False)
         em.setdefault("unfreeze_encoder", False)
 
-    config.setdefault("device", default_device())
+    if "device" not in config:
+        # lazy: default_device() initializes the JAX backend, which must not
+        # happen before jax.distributed.initialize in multi-host mode
+        config["device"] = default_device()
     return config
 
 

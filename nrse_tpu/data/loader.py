@@ -97,11 +97,16 @@ class PrefetchLoader:
 
     def __init__(self, loader, depth: int = 2,
                  sharding: Optional[Any] = None,
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None,
+                 placer: Optional[Callable] = None):
+        """``placer`` (optional) fully replaces device placement — used by
+        the multi-host path to assemble per-process batches into global
+        mesh-sharded arrays (``parallel.distributed.make_global_batch``)."""
         self.loader = loader
         self.depth = depth
         self.sharding = sharding
         self.transform = transform
+        self.placer = placer
 
     def __len__(self):
         return len(self.loader)
@@ -112,7 +117,9 @@ class PrefetchLoader:
         count = batch.pop("__count__", None)
         if self.transform is not None:
             batch = self.transform(batch)
-        if self.sharding is not None:
+        if self.placer is not None:
+            batch = self.placer(batch)
+        elif self.sharding is not None:
             batch = jax.tree.map(
                 lambda x: jax.device_put(x, self.sharding), batch
             )

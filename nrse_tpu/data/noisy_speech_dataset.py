@@ -188,6 +188,28 @@ def create_dataloaders(config, feature_extractor=None, featurize: bool = False):
 
     num_workers = train_cfg.get("num_workers", 8)
     bs = train_cfg["batch_size"]
+
+    # Multi-host: every process loads its strided shard of the index space
+    # and a per-process slice of the global batch; identity when
+    # single-process.  The split/permutation above is seed-deterministic,
+    # so all processes agree on it without communication.
+    from nrse_tpu.parallel.distributed import process_count, process_index
+
+    nproc = process_count()
+    if nproc > 1:
+        if bs % nproc != 0:
+            raise ValueError(
+                f"training.batch_size={bs} must be divisible by the "
+                f"process count ({nproc})"
+            )
+        bs = bs // nproc
+        pid = process_index()
+        train_idx = train_idx[pid::nproc]
+        val_idx = val_idx[pid::nproc]
+        # equal step counts on every process (ragged tails deadlock the
+        # gradient all-reduce)
+        train_idx = train_idx[: (len(perm[:train_size]) // nproc)]
+        val_idx = val_idx[: (len(perm[train_size:]) // nproc)]
     train_loader = HostDataLoader(
         dataset, train_idx, bs, shuffle=True, seed=seed,
         num_workers=num_workers, drop_last=True,

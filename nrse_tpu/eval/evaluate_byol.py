@@ -21,9 +21,24 @@ from nrse_tpu.train.byol_trainer import make_byol_eval_step
 from nrse_tpu.utils.logging_utils import logger
 
 
+def _local_rows(x) -> np.ndarray:
+    """Fetch an eval output to host: this process's rows of a global array
+    (multi-host), or the whole array (single-host)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    return np.concatenate(
+        [np.asarray(s.data) for s in x.addressable_shards]
+    )
+
+
 def _run_eval_pass(model, state, dataloader, collect_embeddings: bool = False,
-                   max_batches: int = 0):
-    """Single pass over a loader: losses, per-sample similarity + SNRs."""
+                   max_batches: int = 0, placer=None):
+    """Single pass over a loader: losses, per-sample similarity + SNRs.
+
+    ``placer`` (multi-host): assembles the per-process host batch into
+    global mesh-sharded arrays; outputs are then sliced back to this
+    process's rows, and the caller aggregates means across processes.
+    """
     import jax
 
     from nrse_tpu.train.byol_trainer import make_byol_embed_step
@@ -36,15 +51,16 @@ def _run_eval_pass(model, state, dataloader, collect_embeddings: bool = False,
         if max_batches and i >= max_batches:
             break
         count = int(batch.pop("__count__", len(batch["snr"])))
-        jbatch = jax.tree.map(jax.numpy.asarray, batch)
+        jbatch = placer(batch) if placer is not None else \
+            jax.tree.map(jax.numpy.asarray, batch)
         loss, sim = eval_step(state, jbatch)
-        losses.append(np.asarray(loss)[:count])  # drop loader padding rows
-        sims.append(np.asarray(sim)[:count])
+        losses.append(_local_rows(loss)[:count])  # drop loader padding rows
+        sims.append(_local_rows(sim)[:count])
         snrs.append(np.asarray(batch["snr"])[:count])
         if embed_step is not None:
             ce, ne = embed_step(state, jbatch)
             embeddings.append(
-                (np.asarray(ce)[:count], np.asarray(ne)[:count])
+                (_local_rows(ce)[:count], _local_rows(ne)[:count])
             )
     return losses, np.concatenate(sims), np.concatenate(snrs), embeddings
 
@@ -60,9 +76,11 @@ def evaluate_embedding_similarity(model, state, dataloader, config
     return out
 
 
-def validate_model(model, state, val_loader, config) -> Tuple[float, Dict]:
+def validate_model(model, state, val_loader, config,
+                   placer=None) -> Tuple[float, Dict]:
     """Fused loss + similarity validation (reference ``:68-123``)."""
-    losses, sims, snrs, _ = _run_eval_pass(model, state, val_loader)
+    losses, sims, snrs, _ = _run_eval_pass(model, state, val_loader,
+                                           placer=placer)
     avg_loss = float(np.concatenate(losses).mean()) if losses else float("inf")
     similarities = {}
     for snr in config["data"]["snr_range"]:

@@ -120,7 +120,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
         # hoisted Toeplitz shear: bias rows for this q-block over ALL keys
         # (bias_row[i, j] = brel[(t-bq-qs) + bq-1-i+j] = bias[qs+i, j])
         start = t - bq - qs
-        w = brel_ref[hi, pl.ds(start, bq + t)].reshape(1, bq + t)
+        w = brel_ref[hi, 0, pl.ds(start, bq + t)].reshape(1, bq + t)
         bias_row = _shear_rows(w, bq)  # [BQ, BQ+T]; cols [0, T) valid
 
         def body(ik, carry, hi=hi, q=q, gate=gate, bias_row=bias_row):
@@ -177,6 +177,7 @@ def _head_group(h: int, t: int = 256, block_q: int = 256,
 def _fwd(q, k, v, gate, bias_rel, mask_add, *, block_q: int, block_k: int,
          interpret: bool):
     b, h, t, d = q.shape
+    bias_rel = bias_rel.reshape(h, 1, 2 * t)  # unit sublane dim for Mosaic
     nq = t // block_q
     g = _head_group(h, t, block_q, d)
     grid = (b, h // g, nq)
@@ -197,7 +198,7 @@ def _fwd(q, k, v, gate, bias_rel, mask_add, *, block_q: int, block_k: int,
             pl.BlockSpec((None, g, block_q, 1),
                          lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 2 * t), lambda b_, g_, i: (g_, 0),
+            pl.BlockSpec((g, 1, 2 * t), lambda b_, g_, i: (g_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, t), lambda b_, g_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -247,7 +248,7 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, brel_ref, madd_ref, do_ref,
         delta = delta_ref[hi].astype(jnp.float32)
         do = do_ref[hi]
         start = t - bq - qs
-        w = brel_ref[hi, pl.ds(start, bq + t)].reshape(1, bq + t)
+        w = brel_ref[hi, 0, pl.ds(start, bq + t)].reshape(1, bq + t)
         bias_row = _shear_rows(w, bq)  # [BQ, BQ+T]
 
         def body(ik, carry, hi=hi, q=q, gate=gate, lse=lse, delta=delta,
@@ -288,12 +289,13 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, brel_ref, madd_ref, do_ref,
         dq, dgate, drel = jax.lax.fori_loop(0, nk, body, (dq0, dg0, dr0))
         dq_ref[hi] = dq.astype(dq_ref.dtype)
         dgate_ref[hi] = dgate.astype(dgate_ref.dtype)
-        dbrel_ref[hi, pl.ds(start, bq + t)] += drel[0]
+        dbrel_ref[hi, :, pl.ds(start, bq + t)] += drel
 
 
 def _bwd_dq(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
+    bias_rel = bias_rel.reshape(h, 1, 2 * t)
     nq = t // block_q
     g = _head_group(h, t, block_q, d)
     # batch innermost: the dbias_rel block accumulates over contiguous steps
@@ -313,7 +315,7 @@ def _bwd_dq(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             pl.BlockSpec((None, g, t, d), lambda g_, i, b_: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 2 * t), lambda g_, i, b_: (g_, 0),
+            pl.BlockSpec((g, 1, 2 * t), lambda g_, i, b_: (g_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, t), lambda g_, i, b_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -326,17 +328,17 @@ def _bwd_dq(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
         out_specs=[
             pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 2 * t), lambda g_, i, b_: (g_, 0),
+            pl.BlockSpec((g, 1, 2 * t), lambda g_, i, b_: (g_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
-            jax.ShapeDtypeStruct((h, 2 * t), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, 2 * t), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, gate, bias_rel, mask_add, do, v, lse, delta)
-    return dq, dgate, dbrel
+    return dq, dgate, dbrel.reshape(h, 2 * t)
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +365,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
             q = q_ref[hi, pl.ds(qs, block_q), :]
             gate = gate_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
             start = t - block_q + ks - qs
-            w = brel_ref[hi, pl.ds(start, block_q + bk)].reshape(
+            w = brel_ref[hi, 0, pl.ds(start, block_q + bk)].reshape(
                 1, block_q + bk)
             bias = _shear_rows(w, block_q)[:, :bk].astype(jnp.float32)
             lse = lse_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
@@ -402,6 +404,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
 def _bwd_dkv(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
              block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
+    bias_rel = bias_rel.reshape(h, 1, 2 * t)
     nk = t // block_k
     g = _head_group(h, t, block_k, d)
     grid = (b, h // g, nk)
@@ -422,7 +425,7 @@ def _bwd_dkv(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, t, 1), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 2 * t), lambda b_, g_, i: (g_, 0),
+            pl.BlockSpec((g, 1, 2 * t), lambda b_, g_, i: (g_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_k), lambda b_, g_, i: (b_, 0, i),
                          memory_space=pltpu.VMEM),

@@ -34,6 +34,19 @@ def main(argv=None):
     if config.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host (multi-slice) wiring — must precede backend initialization;
+    # no-op unless the config carries tpu.distributed.enabled
+    from nrse_tpu.parallel.distributed import (
+        aggregate_metrics,
+        broadcast_scalar,
+        is_primary,
+        make_global_batch,
+        maybe_initialize,
+        process_count,
+    )
+
+    maybe_initialize(config)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -56,9 +69,12 @@ def main(argv=None):
     os.makedirs(config["training"]["checkpoint_dir"], exist_ok=True)
     os.makedirs(config["training"]["log_dir"], exist_ok=True)
 
-    wandb = get_wandb(config["logging"].get("wandb_mode", "disabled"))
+    # experiment tracking only on the primary process in a cluster
+    wandb_mode = config["logging"].get("wandb_mode", "disabled") \
+        if is_primary() else "disabled"
+    wandb = get_wandb(wandb_mode)
     wandb.init(project="noise-robust-speech-embeddings", config=config,
-               mode=config["logging"].get("wandb_mode", "disabled"))
+               mode=wandb_mode)
 
     # mesh + data
     mesh_cfg = config.get("tpu", {}).get("mesh", {"data": -1, "model": 1})
@@ -129,7 +145,10 @@ def main(argv=None):
         # losses stay on device until epoch end — a per-step float() would
         # force a host sync and stall the async dispatch pipeline
         step_losses = []
-        for batch in PrefetchLoader(train_loader, depth=prefetch, sharding=bsh):
+        placer = (lambda b: make_global_batch(mesh, b)) \
+            if process_count() > 1 else None
+        for batch in PrefetchLoader(train_loader, depth=prefetch,
+                                    sharding=bsh, placer=placer):
             batch.pop("__count__", None)
             state, metrics = train_step(state, batch)
             step_losses.append(metrics["loss"])
@@ -138,7 +157,25 @@ def main(argv=None):
             else 0.0
         throughput = meter.audio_sec_per_sec_per_chip
 
-        val_loss, val_metrics = validate_model(model, state, val_loader, config)
+        val_loss, val_metrics = validate_model(model, state, val_loader,
+                                               config, placer=placer)
+        if process_count() > 1:
+            # each process validated its own shard — agree on the means so
+            # early stopping / best-checkpoint decisions are identical
+            flat = {"val_loss": val_loss,
+                    "val_avg_similarity": val_metrics["val_avg_similarity"]}
+            for snr, sim in val_metrics["val_similarities"].items():
+                flat[f"snr_{snr}"] = sim
+            agg = aggregate_metrics(flat)
+            val_loss = agg["val_loss"]
+            val_metrics = {
+                "val_loss": val_loss,
+                "val_avg_similarity": agg["val_avg_similarity"],
+                "val_similarities": {
+                    snr: agg[f"snr_{snr}"]
+                    for snr in val_metrics["val_similarities"]
+                },
+            }
 
         log_dict = {
             "epoch": epoch,
@@ -161,9 +198,14 @@ def main(argv=None):
         stop_value = val_loss if metric == "val_loss" else \
             val_metrics["val_avg_similarity"]
         stop = early_stopping(stop_value)
+        if process_count() > 1:  # one decision for the whole cluster
+            stop = broadcast_scalar(1.0 if stop else 0.0) > 0.5
 
         viz_every = config["logging"].get("visualization_interval", 2)
-        if (epoch + 1) % viz_every == 0 or epoch == num_epochs - 1:
+        # t-SNE viz is single-host-only: gating the jitted embed pass on one
+        # process would deadlock SPMD execution in a multi-host cluster
+        if process_count() == 1 and (
+                (epoch + 1) % viz_every == 0 or epoch == num_epochs - 1):
             img = f"tsne_embeddings_epoch_{epoch+1}.png"
             path = visualize_embeddings(
                 model, state, val_loader, config["training"]["log_dir"], img
