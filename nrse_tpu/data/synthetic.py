@@ -1,0 +1,122 @@
+"""Synthetic speech-like corpus generation (on-disk WAVs).
+
+The environment has no MSP-Podcast / AudioSet data, so quality-evidence
+runs (BYOL convergence trajectories, data-fed throughput benches) train on
+a generated corpus.  Files are *structured*, not white noise: harmonic
+voices with pitch contours, formant envelopes and syllabic modulation for
+"speech", and a mix of coloured/tonal/impulsive interference for "noise" —
+so clean/noisy embedding similarity and the BYOL objective have real
+signal structure to learn, in the spirit of the reference's mock fixture
+(``/root/reference/test/create_mock_dataset.py:4-25``) scaled to a corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def synth_speech_like(rng: np.random.Generator, seconds: float,
+                      sample_rate: int = 16000) -> np.ndarray:
+    """One pseudo-utterance: harmonics of a wandering f0 shaped by a
+    random 3-formant envelope, with syllabic (2.5–5 Hz) amplitude
+    modulation and an onset/offset ramp."""
+    n = int(seconds * sample_rate)
+    t = np.arange(n) / sample_rate
+    f0 = float(rng.uniform(85.0, 255.0))
+    vibrato = 1.0 + 0.08 * np.sin(
+        2 * np.pi * rng.uniform(2.0, 6.0) * t + rng.uniform(0, 2 * np.pi)
+    )
+    phase = 2 * np.pi * np.cumsum(f0 * vibrato) / sample_rate
+
+    formants = rng.uniform((300.0, 900.0, 1900.0), (800.0, 1800.0, 2800.0))
+    bw = np.array([90.0, 140.0, 200.0])
+    x = np.zeros(n)
+    max_h = max(2, min(int(4000.0 / f0), 40))
+    for h in range(1, max_h + 1):
+        fh = h * f0
+        amp = float(np.sum(np.exp(-((fh - formants) ** 2) / (2 * bw**2))))
+        amp += 0.05 / h  # spectral tilt floor
+        x += amp * np.sin(h * phase)
+
+    syll = np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t
+                  + rng.uniform(0, 2 * np.pi))
+    env = 0.15 + 0.85 * np.clip(syll, 0.0, None) ** rng.uniform(0.5, 2.0)
+    ramp = np.minimum(1.0, np.minimum(t, seconds - t) / 0.05)
+    x *= env * ramp
+    x += 0.003 * rng.standard_normal(n)  # breath floor
+    x /= np.abs(x).max() + 1e-8
+    return (0.3 * x).astype(np.float32)
+
+
+def synth_noise(rng: np.random.Generator, seconds: float,
+                sample_rate: int = 16000) -> np.ndarray:
+    """One interference clip: white / pink / tonal-hum / impulsive, chosen
+    at random (AudioSet-ish variety on a budget)."""
+    n = int(seconds * sample_rate)
+    kind = rng.integers(0, 4)
+    if kind == 0:  # white
+        x = rng.standard_normal(n)
+    elif kind == 1:  # pink-ish via FFT 1/f shaping
+        spec = np.fft.rfft(rng.standard_normal(n))
+        f = np.maximum(np.fft.rfftfreq(n, 1.0 / sample_rate), 1.0)
+        x = np.fft.irfft(spec / np.sqrt(f), n)
+    elif kind == 2:  # tonal hum + harmonics
+        t = np.arange(n) / sample_rate
+        base = rng.uniform(50.0, 400.0)
+        x = sum(
+            rng.uniform(0.2, 1.0) * np.sin(2 * np.pi * base * h * t
+                                           + rng.uniform(0, 2 * np.pi))
+            for h in (1, 2, 3)
+        )
+        x += 0.1 * rng.standard_normal(n)
+    else:  # impulsive clatter over a noise bed
+        x = 0.1 * rng.standard_normal(n)
+        for _ in range(int(rng.integers(3, 12))):
+            pos = int(rng.integers(0, max(1, n - 800)))
+            length = int(rng.integers(100, 800))
+            x[pos:pos + length] += rng.uniform(0.5, 2.0) * np.exp(
+                -np.arange(length) / rng.uniform(20.0, 200.0)
+            ) * rng.standard_normal(length)
+    x /= np.abs(x).max() + 1e-8
+    return (0.25 * x).astype(np.float32)
+
+
+def generate_corpus(root: str, n_clean: int, n_noise: int,
+                    seconds: float = 5.0, sample_rate: int = 16000,
+                    duration_jitter: float = 0.2, seed: int = 0,
+                    verbose: bool = True):
+    """Write ``clean/`` and ``noise/`` WAV trees under ``root`` (idempotent:
+    a ``.complete`` marker skips regeneration).  Returns (clean_dir,
+    noise_dir)."""
+    from nrse_tpu.audio.io import save_wav
+
+    clean_dir = os.path.join(root, "clean")
+    noise_dir = os.path.join(root, "noise")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return clean_dir, noise_dir
+    os.makedirs(clean_dir, exist_ok=True)
+    os.makedirs(noise_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    for i in range(n_clean):
+        dur = seconds * float(
+            rng.uniform(1.0 - duration_jitter, 1.0 + duration_jitter)
+        )
+        save_wav(os.path.join(clean_dir, f"speech_{i:06d}.wav"),
+                 synth_speech_like(rng, dur, sample_rate), sample_rate)
+        if verbose and (i + 1) % 1000 == 0:
+            print(f"# corpus: {i + 1}/{n_clean} clean "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    for i in range(n_noise):
+        save_wav(os.path.join(noise_dir, f"noise_{i:06d}.wav"),
+                 synth_noise(rng, seconds, sample_rate), sample_rate)
+    with open(marker, "w") as f:
+        f.write(f"{n_clean} {n_noise} {seconds}\n")
+    if verbose:
+        print(f"# corpus: {n_clean}+{n_noise} files in "
+              f"{time.perf_counter() - t0:.0f}s at {root}", flush=True)
+    return clean_dir, noise_dir

@@ -84,7 +84,9 @@ class WavLMConfig:
     use_flash_attention: bool = False
     # False | True/"full" (remat whole layers) | "ffn" (recompute only the
     # 4×-wide FFN activations in backward — the dominant HLO temps once
-    # flash attention removes the T×T tensors)
+    # flash attention removes the T×T tensors) | "dots" (save matmul
+    # outputs only) | "attn" (save everything except the [B,H,T,T]
+    # attention internals — cheapest recompute for the XLA-attention path)
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
@@ -287,7 +289,20 @@ class GatedAttention(nn.Module):
                 q, k, v, gate, pos_bias, key_padding_mask
             )
         else:
-            out = gated_bias_attention(q, k, v, gate, pos_bias, key_padding_mask)
+            attn_fn = gated_bias_attention
+            if cfg.remat == "attn":
+                # Recompute the [B, H, T, T] attention internals in the
+                # backward pass instead of saving them: they dominate scan
+                # residual HBM (~5 GB at bs 36 over 24 layers at T=249) yet
+                # the two attention matmuls + softmax are only ~T/4D ≈ 6%
+                # of layer FLOPs — vs ~33% recompute for full-layer remat.
+                # Residuals kept: q/k/v/gate (O(T)).  Inner remat (like the
+                # "ffn" mode) rather than an outer scan-body policy because
+                # named-saveable policies break lax.cond partial-eval under
+                # LayerDrop (branches would save different residual sets).
+                attn_fn = jax.checkpoint(gated_bias_attention,
+                                         prevent_cse=False)
+            out = attn_fn(q, k, v, gate, pos_bias, key_padding_mask)
         if cfg.attention_dropout > 0.0 and not deterministic:
             # HF drops attention *probabilities*; with the factored/flash
             # path we drop the per-head outputs instead (documented
@@ -466,6 +481,9 @@ class WavLMTransformerEncoder(nn.Module):
                 _ScanLayer, prevent_cse=False,
                 policy=jax.checkpoint_policies.dots_saveable,
             )
+        # cfg.remat == "attn" is handled inside GatedAttention (inner remat
+        # of the attention core; see the comment there) — the scan body
+        # itself is not rematerialised in that mode.
 
         # One compiled layer body scanned over stacked parameters.
         stack = nn.scan(

@@ -14,22 +14,34 @@ Why a custom kernel (vs XLA attention in ``ops/attention.py``):
     function depends only on the relative offset ``k − q``
     (``ops/rel_pos_bias.py::bucket_of_relative_position``), so one
     ``bias_rel [H, 2T]`` vector generates the whole ``[H, T, T]`` tensor.
-    The kernels consume that vector and *shear* each ``[BQ, BK]`` bias block
-    out of it on-chip (log2(BQ) static-shift roll passes on the VPU); the
-    backward accumulates ``dbias`` back onto the ``[H, 2T]`` vector with the
-    adjoint shear.  The O(T²) bias never exists in HBM — in any dtype, in
-    either pass — and neither does its gradient.
+    The host wrapper gathers per-block *windows* of that vector (an O(T)
+    tensor per block row), the kernels shear each ``[BQ, BK]`` bias block
+    out of the window on-chip (log2(BQ) masked static-shift roll passes on
+    the VPU), and the backward emits per-window ``dbias`` rows that the
+    wrapper folds back onto the ``[H, 2T]`` vector.  The O(T²) bias never
+    exists in HBM — in any dtype, in either pass — and neither does its
+    gradient.
+
+Mosaic constraints shaping the design (learned the hard way — interpret
+mode accepts more than the TPU compiler):
+  * no ``dynamic_slice`` on *values* — every in-kernel slice offset is a
+    Python constant: the k/q inner loops are unrolled (trip counts are
+    compile-time constants) and window placement happens via BlockSpec
+    index maps instead of runtime offsets;
+  * per-row vectors carry a trailing unit dim ([..., T, 1]) and the bias
+    windows a unit sublane dim — TPU block specs need two real trailing
+    dims.
 
 Grid layout: ALL heads of a VMEM-sized group are processed per grid step
 (an unrolled loop inside the kernel) — per-(batch, head) grids are
 launch-bound at speech-scale T≈250.  Forward/dq grids iterate (batch,
-q-blocks); dk/dv iterates (batch, k-blocks); the dbias_rel output
-accumulates across the (q-block, batch) grid axes.
+q-blocks) / (q-blocks, batch); dk/dv iterates (batch, k-blocks); the
+per-window dbias output block is revisited across the innermost batch axis
+and accumulated in place.
 
 Numerics: scores/softmax in f32, matmuls via MXU with
 ``preferred_element_type=f32``; key-padding enters as an additive 0/-1e9
-row so fully-padded rows stay finite.  Per-row vectors carry a trailing
-unit dim ([..., T, 1]) — TPU block specs need two real trailing dims.
+row so fully-padded rows stay finite.
 """
 
 from __future__ import annotations
@@ -51,7 +63,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Toeplitz shear: build bias blocks from the [2T] relative-offset vector
+# Toeplitz shear: build bias blocks from relative-offset windows
 # ---------------------------------------------------------------------------
 
 def _roll_left(m, s: int):
@@ -99,17 +111,49 @@ def _shear_rows_adjoint(ds, n: int):
 
 
 # ---------------------------------------------------------------------------
+# window gathers (XLA side, O(T) per block row) and the dbias fold-back
+# ---------------------------------------------------------------------------
+
+def _q_windows(bias_rel, t: int, block_q: int):
+    """[H, 2T] → [H, NQ, BQ+T]: window i covers queries [i·BQ, (i+1)·BQ)
+    against ALL keys; ``win[h, i, p] = bias_rel[h, (t − (i+1)·BQ) + p]`` so
+    the sheared rows satisfy ``bias[qs+r, j] = shear(win_i)[r, j]``."""
+    nq = t // block_q
+    starts = t - block_q * (jnp.arange(nq, dtype=jnp.int32) + 1)
+    idx = starts[:, None] + jnp.arange(block_q + t, dtype=jnp.int32)[None, :]
+    return jnp.take(bias_rel, idx, axis=1)
+
+
+def _k_windows(bias_rel, t: int, block_k: int):
+    """[H, 2T] → [H, NK, T+BK]: window i covers keys [i·BK, (i+1)·BK)
+    against ALL queries; ``win[h, i, p] = bias_rel[h, i·BK + p]``."""
+    nk = t // block_k
+    starts = block_k * jnp.arange(nk, dtype=jnp.int32)
+    idx = starts[:, None] + jnp.arange(t + block_k, dtype=jnp.int32)[None, :]
+    return jnp.take(bias_rel, idx, axis=1)
+
+
+def _fold_q_windows(dwin, t: int, block_q: int):
+    """Adjoint of ``_q_windows``: [H, NQ, BQ+T] → [H, 2T] overlap-add."""
+    h, nq, w = dwin.shape
+    out = jnp.zeros((h, 2 * t), dwin.dtype)
+    for i in range(nq):
+        start = t - block_q * (i + 1)
+        out = out.at[:, start:start + w].add(dwin[:, i, :])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # forward: grid (B, head-groups, q-blocks); kernel loops heads and k-blocks
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, win_ref, madd_ref,
                 o_ref, lse_ref, *, block_k: int, scale: float):
     # q/o: [H, BQ, D]; k/v: [H, T, D]; gate/lse: [H, BQ, 1];
-    # brel: [H, 2T]; madd: [1, T]
+    # win: [H, 1, BQ+T] (this q-block's bias window); madd: [1, T]
     h, bq, d = q_ref.shape
     t = k_ref.shape[1]
     nk = t // block_k
-    qs = pl.program_id(2) * bq
     # matmuls run at the input precision (bf16 inputs -> full MXU rate,
     # f32 accumulation via preferred_element_type); softmax math is f32
     mm = q_ref.dtype
@@ -118,38 +162,31 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
         q = q_ref[hi]
         gate = gate_ref[hi].astype(jnp.float32)  # [BQ, 1]
         # hoisted Toeplitz shear: bias rows for this q-block over ALL keys
-        # (bias_row[i, j] = brel[(t-bq-qs) + bq-1-i+j] = bias[qs+i, j])
-        start = t - bq - qs
-        w = brel_ref[hi, 0, pl.ds(start, bq + t)].reshape(1, bq + t)
-        bias_row = _shear_rows(w, bq)  # [BQ, BQ+T]; cols [0, T) valid
+        bias_row = _shear_rows(win_ref[hi], bq)  # [BQ, BQ+T]; cols [0,T)
 
-        def body(ik, carry, hi=hi, q=q, gate=gate, bias_row=bias_row):
-            m_prev, l_prev, acc = carry
+        m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((bq, 1), jnp.float32)
+        acc = jnp.zeros((bq, d), jnp.float32)
+        for ik in range(nk):  # unrolled: every slice offset is static
             ks = ik * block_k
-            k = k_ref[hi, pl.ds(ks, block_k), :]
+            k = k_ref[hi, ks:ks + block_k, :]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [BQ, BK]
-            s += gate * jax.lax.dynamic_slice_in_dim(
-                bias_row, ks, block_k, axis=1).astype(jnp.float32)
-            s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
+            s += gate * bias_row[:, ks:ks + block_k].astype(jnp.float32)
+            s += madd_ref[:, ks:ks + block_k].astype(jnp.float32)
 
-            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_cur)
+            m_cur = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_cur)
             p = jnp.exp(s - m_cur)
-            l_cur = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-            v = v_ref[hi, pl.ds(ks, block_k), :]
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            v = v_ref[hi, ks:ks + block_k, :]
             acc = acc * alpha + jax.lax.dot_general(
                 p.astype(mm), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return m_cur, l_cur, acc
-
-        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bq, 1), jnp.float32)
-        acc0 = jnp.zeros((bq, d), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+            m = m_cur
 
         l_safe = jnp.maximum(l, 1e-30)
         o_ref[hi] = (acc / l_safe).astype(o_ref.dtype)
@@ -177,8 +214,8 @@ def _head_group(h: int, t: int = 256, block_q: int = 256,
 def _fwd(q, k, v, gate, bias_rel, mask_add, *, block_q: int, block_k: int,
          interpret: bool):
     b, h, t, d = q.shape
-    bias_rel = bias_rel.reshape(h, 1, 2 * t)  # unit sublane dim for Mosaic
     nq = t // block_q
+    qwin = _q_windows(bias_rel, t, block_q)[:, :, None, :]  # [H,NQ,1,BQ+T]
     g = _head_group(h, t, block_q, d)
     grid = (b, h // g, nq)
     kernel = functools.partial(
@@ -198,7 +235,8 @@ def _fwd(q, k, v, gate, bias_rel, mask_add, *, block_q: int, block_k: int,
             pl.BlockSpec((None, g, block_q, 1),
                          lambda b_, g_, i: (b_, g_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, 2 * t), lambda b_, g_, i: (g_, 0, 0),
+            pl.BlockSpec((g, None, 1, block_q + t),
+                         lambda b_, g_, i: (g_, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, t), lambda b_, g_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -216,29 +254,27 @@ def _fwd(q, k, v, gate, bias_rel, mask_add, *, block_q: int, block_k: int,
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, gate, bias_rel, mask_add)
+    )(q, k, v, gate, qwin, mask_add)
     return out, lse
 
 
 # ---------------------------------------------------------------------------
-# backward: dq, dgate, dbias_rel — grid (q-blocks, batch innermost) so the
-# dbias_rel block accumulates across contiguous grid steps
+# backward: dq, dgate, dbias windows — grid (q-blocks, batch innermost) so
+# each (head-group, q-block) dbias window accumulates across batch steps
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, gate_ref, brel_ref, madd_ref, do_ref,
+def _bwd_dq_kernel(q_ref, k_ref, gate_ref, win_ref, madd_ref, do_ref,
                    v_ref, lse_ref, delta_ref,
-                   dq_ref, dgate_ref, dbrel_ref, *, block_k: int,
+                   dq_ref, dgate_ref, dwin_ref, *, block_k: int,
                    scale: float):
     h, bq, d = q_ref.shape
     t = k_ref.shape[1]
     nk = t // block_k
-    iq = pl.program_id(1)
-    ib = pl.program_id(2)  # batch (innermost)
-    qs = iq * bq
+    ib = pl.program_id(2)  # batch (innermost; dwin block is revisited)
 
-    @pl.when((ib == 0) & (iq == 0))
+    @pl.when(ib == 0)
     def _():
-        dbrel_ref[:] = jnp.zeros_like(dbrel_ref)
+        dwin_ref[:] = jnp.zeros_like(dwin_ref)
 
     mm = q_ref.dtype
     for hi in range(h):
@@ -247,25 +283,23 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, brel_ref, madd_ref, do_ref,
         lse = lse_ref[hi].astype(jnp.float32)
         delta = delta_ref[hi].astype(jnp.float32)
         do = do_ref[hi]
-        start = t - bq - qs
-        w = brel_ref[hi, 0, pl.ds(start, bq + t)].reshape(1, bq + t)
-        bias_row = _shear_rows(w, bq)  # [BQ, BQ+T]
+        bias_row = _shear_rows(win_ref[hi], bq)  # [BQ, BQ+T]
 
-        def body(ik, carry, hi=hi, q=q, gate=gate, lse=lse, delta=delta,
-                 do=do, bias_row=bias_row):
-            dq_acc, dgate_acc, drel_acc = carry
+        dq_acc = jnp.zeros((bq, d), jnp.float32)
+        dgate_acc = jnp.zeros((bq, 1), jnp.float32)
+        dwin_acc = jnp.zeros((1, bq + t), jnp.float32)
+        for ik in range(nk):  # unrolled: static offsets only
             ks = ik * block_k
-            k = k_ref[hi, pl.ds(ks, block_k), :]
-            bias = jax.lax.dynamic_slice_in_dim(
-                bias_row, ks, block_k, axis=1).astype(jnp.float32)
+            k = k_ref[hi, ks:ks + block_k, :]
+            bias = bias_row[:, ks:ks + block_k].astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             s += gate * bias
-            s += madd_ref[:, pl.ds(ks, block_k)].astype(jnp.float32)
+            s += madd_ref[:, ks:ks + block_k].astype(jnp.float32)
             p = jnp.exp(s - lse)
-            v = v_ref[hi, pl.ds(ks, block_k), :]
+            v = v_ref[hi, ks:ks + block_k, :]
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -276,29 +310,23 @@ def _bwd_dq_kernel(q_ref, k_ref, gate_ref, brel_ref, madd_ref, do_ref,
                 preferred_element_type=jnp.float32,
             ) * scale
             dgate_acc += jnp.sum(ds * bias, axis=1, keepdims=True)
-            # dbias block → diagonal sums onto the relative-offset vector
-            dvec = _shear_rows_adjoint(gate * ds, bq + block_k)  # [1, BQ+BK]
-            seg = jax.lax.dynamic_slice(drel_acc, (0, ks), (1, bq + block_k))
-            drel_acc = jax.lax.dynamic_update_slice(
-                drel_acc, seg + dvec, (0, ks))
-            return dq_acc, dgate_acc, drel_acc
+            # dbias block → diagonal sums at window offset ks (static pad)
+            dvec = _shear_rows_adjoint(gate * ds, bq + block_k)
+            dwin_acc += jnp.pad(dvec, ((0, 0), (ks, t - block_k - ks)))
 
-        dq0 = jnp.zeros((bq, d), jnp.float32)
-        dg0 = jnp.zeros((bq, 1), jnp.float32)
-        dr0 = jnp.zeros((1, bq + t), jnp.float32)
-        dq, dgate, drel = jax.lax.fori_loop(0, nk, body, (dq0, dg0, dr0))
-        dq_ref[hi] = dq.astype(dq_ref.dtype)
-        dgate_ref[hi] = dgate.astype(dgate_ref.dtype)
-        dbrel_ref[hi, :, pl.ds(start, bq + t)] += drel
+        dq_ref[hi] = dq_acc.astype(dq_ref.dtype)
+        dgate_ref[hi] = dgate_acc.astype(dgate_ref.dtype)
+        dwin_ref[hi] += dwin_acc  # accumulates across the batch grid axis
 
 
 def _bwd_dq(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
-    bias_rel = bias_rel.reshape(h, 1, 2 * t)
     nq = t // block_q
+    qwin = _q_windows(bias_rel, t, block_q)[:, :, None, :]  # [H,NQ,1,BQ+T]
     g = _head_group(h, t, block_q, d)
-    # batch innermost: the dbias_rel block accumulates over contiguous steps
+    # batch innermost: each (head-group, q-block) dbias window block stays
+    # resident and accumulates over contiguous steps
     grid = (h // g, nq, b)
     kernel = functools.partial(
         _bwd_dq_kernel, block_k=block_k, scale=1.0 / (d ** 0.5)
@@ -307,7 +335,7 @@ def _bwd_dq(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
     def qb(g_, i, b_):
         return (b_, g_, i, 0)
 
-    dq, dgate, dbrel = pl.pallas_call(
+    dq, dgate, dwin = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -315,7 +343,8 @@ def _bwd_dq(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             pl.BlockSpec((None, g, t, d), lambda g_, i, b_: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, 2 * t), lambda g_, i, b_: (g_, 0, 0),
+            pl.BlockSpec((g, None, 1, block_q + t),
+                         lambda g_, i, b_: (g_, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, t), lambda g_, i, b_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -328,49 +357,52 @@ def _bwd_dq(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
         out_specs=[
             pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, 2 * t), lambda g_, i, b_: (g_, 0, 0),
+            pl.BlockSpec((g, None, 1, block_q + t),
+                         lambda g_, i, b_: (g_, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
-            jax.ShapeDtypeStruct((h, 1, 2 * t), jnp.float32),
+            jax.ShapeDtypeStruct((h, nq, 1, block_q + t), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, gate, bias_rel, mask_add, do, v, lse, delta)
-    return dq, dgate, dbrel.reshape(h, 2 * t)
+    )(q, k, gate, qwin, mask_add, do, v, lse, delta)
+    dbrel = _fold_q_windows(dwin[:, :, 0, :], t, block_q)
+    return dq, dgate, dbrel
 
 
 # ---------------------------------------------------------------------------
 # backward: dk, dv — grid (batch, k-blocks); q streamed per head
 # ---------------------------------------------------------------------------
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, kwin_ref, madd_ref,
                     do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, block_q: int, scale: float):
     h, t, d = q_ref.shape
     bk = k_ref.shape[1]
     nq = t // block_q
-    ik = pl.program_id(2)
-    ks = ik * bk
 
     mm = q_ref.dtype
     for hi in range(h):
         k = k_ref[hi]
+        v = v_ref[hi]
         madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
+        w2 = kwin_ref[hi]  # [1, T+BK]: this k-block's window over all queries
 
-        def body(iq, carry, hi=hi, k=k, madd=madd):
-            dk_acc, dv_acc = carry
+        dk_acc = jnp.zeros((bk, d), jnp.float32)
+        dv_acc = jnp.zeros((bk, d), jnp.float32)
+        for iq in range(nq):  # unrolled: static offsets only
             qs = iq * block_q
-            q = q_ref[hi, pl.ds(qs, block_q), :]
-            gate = gate_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
-            start = t - block_q + ks - qs
-            w = brel_ref[hi, 0, pl.ds(start, block_q + bk)].reshape(
-                1, block_q + bk)
-            bias = _shear_rows(w, block_q)[:, :bk].astype(jnp.float32)
-            lse = lse_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
-            delta = delta_ref[hi, pl.ds(qs, block_q), :].astype(jnp.float32)
-            do = do_ref[hi, pl.ds(qs, block_q), :]
+            q = q_ref[hi, qs:qs + block_q, :]
+            gate = gate_ref[hi, qs:qs + block_q, :].astype(jnp.float32)
+            start = t - block_q - qs
+            bias = _shear_rows(
+                w2[:, start:start + block_q + bk], block_q
+            )[:, :bk].astype(jnp.float32)
+            lse = lse_ref[hi, qs:qs + block_q, :].astype(jnp.float32)
+            delta = delta_ref[hi, qs:qs + block_q, :].astype(jnp.float32)
+            do = do_ref[hi, qs:qs + block_q, :]
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -382,7 +414,6 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
                 p.astype(mm), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            v = v_ref[hi]
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -392,20 +423,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, brel_ref, madd_ref,
                 ds.astype(mm), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale)
-            return dk_acc, dv_acc
 
-        dk0 = jnp.zeros((bk, d), jnp.float32)
-        dv0 = jnp.zeros((bk, d), jnp.float32)
-        dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
-        dk_ref[hi] = dk.astype(dk_ref.dtype)
-        dv_ref[hi] = dv.astype(dv_ref.dtype)
+        dk_ref[hi] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[hi] = dv_acc.astype(dv_ref.dtype)
 
 
 def _bwd_dkv(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
              block_q: int, block_k: int, interpret: bool):
     b, h, t, d = q.shape
-    bias_rel = bias_rel.reshape(h, 1, 2 * t)
     nk = t // block_k
+    kwin = _k_windows(bias_rel, t, block_k)[:, :, None, :]  # [H,NK,1,T+BK]
     g = _head_group(h, t, block_k, d)
     grid = (b, h // g, nk)
     kernel = functools.partial(
@@ -425,7 +452,8 @@ def _bwd_dkv(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, t, 1), lambda b_, g_, i: (b_, g_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, 2 * t), lambda b_, g_, i: (g_, 0, 0),
+            pl.BlockSpec((g, None, 1, t + block_k),
+                         lambda b_, g_, i: (g_, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_k), lambda b_, g_, i: (b_, 0, i),
                          memory_space=pltpu.VMEM),
@@ -449,7 +477,7 @@ def _bwd_dkv(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, gate, bias_rel, mask_add, do, lse, delta)
+    )(q, k, v, gate, kwin, mask_add, do, lse, delta)
     return dk, dv
 
 

@@ -178,3 +178,25 @@ def test_init_target_buffers_not_aliased(model_and_state):
         for o, t in zip(o_leaves, t_leaves):
             assert o is not t
             np.testing.assert_array_equal(np.asarray(o), np.asarray(t))
+
+
+def test_train_step_attn_remat_with_layerdrop():
+    """remat='attn' (inner attention-core remat) must compose with the
+    lax.cond LayerDrop path — an outer scan-body remat *policy* breaks
+    cond partial-eval (branches would save different residual sets), which
+    is why 'attn' is implemented inside GatedAttention.  Regression for
+    the round-2 TPU bench failure."""
+    cfg = WavLMConfig.tiny(layerdrop=0.5, remat="attn")
+    model = BYOLSpeechModel(
+        {"model": {"projection_dim": 32, "prediction_dim": 64,
+                   "ema_decay": 0.99}},
+        encoder_config=cfg,
+    )
+    opt = make_byol_optimizer(1e-3, 1e-5, total_steps=10)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((BATCH, T)), opt
+    )
+    step = make_byol_train_step(model, opt, donate=False)
+    state, metrics = step(state, raw_batch())
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

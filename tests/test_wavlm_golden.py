@@ -187,3 +187,36 @@ def test_jnp_buckets_match_numpy():
         ref = relative_position_buckets(t, t, 320, 800)
         ours = np.asarray(relative_position_buckets_jnp(t, t, 320, 800))
         np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("remat", [True, "ffn", "dots", "attn"])
+def test_remat_policy_equivalence(tiny_pair, remat):
+    """Every remat policy computes the same forward AND gradient as
+    remat=False — rematerialisation must be a pure memory/compute trade.
+
+    The "attn" policy (save everything except tensors tagged ``attn_tt`` in
+    ``ops/attention.py``) is the round-2 default on TPU; the tag must not
+    change values.
+    """
+    hf, cfg = tiny_pair
+    import dataclasses
+
+    params = hf_wavlm_to_params(hf.state_dict(), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 6000)).astype(np.float32))
+
+    def loss(p, c):
+        seq, pooled = WavLMModel(c).apply(p, x)
+        return jnp.sum(pooled.astype(jnp.float32) ** 2)
+
+    base_cfg = dataclasses.replace(cfg, remat=False)
+    l0, g0 = jax.value_and_grad(loss)(params, base_cfg)
+    l1, g1 = jax.value_and_grad(loss)(params,
+                                      dataclasses.replace(cfg, remat=remat))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    flat0 = jax.tree.leaves(g0)
+    flat1 = jax.tree.leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)

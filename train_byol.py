@@ -222,15 +222,21 @@ def main(argv=None):
                                       val_metrics["val_avg_similarity"]),
             },
         }
+        # training.save_checkpoints=false skips the ~5 GB/epoch orbax writes
+        # (used by measurement-only runs, e.g. the convergence report)
+        save_ckpts = config["training"].get("save_checkpoints", True)
         if val_loss < best_val_loss:
             best_val_loss = val_loss
-            save_checkpoint(ckpt_dir, "best_val_loss", state, meta)
-            print(f"Saved best model checkpoint with validation loss: {best_val_loss:.4f}")
+            if save_ckpts:
+                save_checkpoint(ckpt_dir, "best_val_loss", state, meta)
+                print(f"Saved best model checkpoint with validation loss: {best_val_loss:.4f}")
         if val_metrics["val_avg_similarity"] > best_val_similarity:
             best_val_similarity = val_metrics["val_avg_similarity"]
-            save_checkpoint(ckpt_dir, "best_val_similarity", state, meta)
-            print(f"Saved best model checkpoint with validation similarity: {best_val_similarity:.4f}")
-        save_checkpoint(ckpt_dir, "last_model", state, meta)
+            if save_ckpts:
+                save_checkpoint(ckpt_dir, "best_val_similarity", state, meta)
+                print(f"Saved best model checkpoint with validation similarity: {best_val_similarity:.4f}")
+        if save_ckpts:
+            save_checkpoint(ckpt_dir, "last_model", state, meta)
 
         if stop:
             print(f"Early stopping triggered after epoch {epoch+1}")
