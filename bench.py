@@ -47,7 +47,11 @@ def run_flash_check():
         q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)),
                                jnp.bfloat16) for _ in range(3))
         gate = jnp.asarray(rng.uniform(0.5, 2.5, (b, h, t)), jnp.float32)
-        brel = jnp.asarray(0.5 * rng.standard_normal((h, 2 * t)), jnp.float32)
+        # bf16 bias vector mirrors the training path (the model gathers the
+        # table in compute dtype) — packed-dtype layouts are where Mosaic
+        # is strictest, so the parity check must exercise them
+        brel = jnp.asarray(0.5 * rng.standard_normal((h, 2 * t)),
+                           jnp.bfloat16)
         lengths = np.asarray([t, t - t // 4])[:, None]
         mask = jnp.asarray(
             (np.arange(t)[None, :] < lengths).astype(np.int32)
@@ -159,8 +163,9 @@ def main():
         cfg = WavLMConfig.large(
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
-            remat={"0": False, "1": True, "ffn": "ffn",
-                   "dots": "dots", "attn": "attn"}.get(remat_env, False),
+            remat={"0": False, "1": True, "ffn": "ffn", "dots": "dots",
+                   "attn": "attn",
+                   "attn+ffn": "attn+ffn"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
         )
     else:  # CPU smoke mode for plumbing checks only

@@ -87,6 +87,8 @@ class WavLMConfig:
     # flash attention removes the T×T tensors) | "dots" (save matmul
     # outputs only) | "attn" (save everything except the [B,H,T,T]
     # attention internals — cheapest recompute for the XLA-attention path)
+    # | "attn+ffn" (recompute attention core AND FFN; projections + LNs
+    # stay saved — the HBM sweet spot at bs 36 where "attn" alone OOMs)
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
@@ -290,7 +292,7 @@ class GatedAttention(nn.Module):
             )
         else:
             attn_fn = gated_bias_attention
-            if cfg.remat == "attn":
+            if cfg.remat in ("attn", "attn+ffn"):
                 # Recompute the [B, H, T, T] attention internals in the
                 # backward pass instead of saving them: they dominate scan
                 # residual HBM (~5 GB at bs 36 over 24 layers at T=249) yet
@@ -356,7 +358,7 @@ class EncoderLayer(nn.Module):
         attn = GatedAttention(cfg, name="attention")
         # static_argnums counts self: (self=0, x=1, deterministic=2)
         ff_cls = nn.remat(FeedForward, prevent_cse=False, static_argnums=(2,)) \
-            if cfg.remat == "ffn" else FeedForward
+            if cfg.remat in ("ffn", "attn+ffn") else FeedForward
         ff = ff_cls(cfg, name="feed_forward")
         drop = nn.Dropout(cfg.hidden_dropout)
 

@@ -388,7 +388,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, kwin_ref, madd_ref,
         k = k_ref[hi]
         v = v_ref[hi]
         madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
-        w2 = kwin_ref[hi]  # [1, T+BK]: this k-block's window over all queries
+        # hoisted full-width shear (qs-independent): each q-block below
+        # takes a static column slice.  Broadcast-then-slice keeps Mosaic
+        # layouts offset-free — shearing a window *slice* puts a vpad
+        # offset on the broadcast source, which Mosaic rejects for packed
+        # (bf16) dtypes ("Invalid input layout" on vector.broadcast).
+        rows = _shear_rows(kwin_ref[hi], block_q)  # [BQ, T+BK]
 
         dk_acc = jnp.zeros((bk, d), jnp.float32)
         dv_acc = jnp.zeros((bk, d), jnp.float32)
@@ -397,9 +402,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, gate_ref, kwin_ref, madd_ref,
             q = q_ref[hi, qs:qs + block_q, :]
             gate = gate_ref[hi, qs:qs + block_q, :].astype(jnp.float32)
             start = t - block_q - qs
-            bias = _shear_rows(
-                w2[:, start:start + block_q + bk], block_q
-            )[:, :bk].astype(jnp.float32)
+            bias = rows[:, start:start + bk].astype(jnp.float32)
             lse = lse_ref[hi, qs:qs + block_q, :].astype(jnp.float32)
             delta = delta_ref[hi, qs:qs + block_q, :].astype(jnp.float32)
             do = do_ref[hi, qs:qs + block_q, :]
