@@ -164,8 +164,8 @@ def main():
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
             remat={"0": False, "1": True, "ffn": "ffn", "dots": "dots",
-                   "attn": "attn",
-                   "attn+ffn": "attn+ffn"}.get(remat_env, False),
+                   "attn": "attn", "attn+ffn": "attn+ffn",
+                   "light": "light"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
         )
     else:  # CPU smoke mode for plumbing checks only

@@ -88,7 +88,9 @@ class WavLMConfig:
     # outputs only) | "attn" (save everything except the [B,H,T,T]
     # attention internals — cheapest recompute for the XLA-attention path)
     # | "attn+ffn" (recompute attention core AND FFN; projections + LNs
-    # stay saved — the HBM sweet spot at bs 36 where "attn" alone OOMs)
+    # stay saved) | "light" (attn core + FFN + LayerNorms — saves only the
+    # bf16 projections/residual stream; the HBM sweet spot at bs 36 where
+    # full-layer remat pays ~33% recompute and the others OOM)
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
@@ -292,7 +294,7 @@ class GatedAttention(nn.Module):
             )
         else:
             attn_fn = gated_bias_attention
-            if cfg.remat in ("attn", "attn+ffn"):
+            if cfg.remat in ("attn", "attn+ffn", "light"):
                 # Recompute the [B, H, T, T] attention internals in the
                 # backward pass instead of saving them: they dominate scan
                 # residual HBM (~5 GB at bs 36 over 24 layers at T=249) yet
@@ -351,14 +353,20 @@ class EncoderLayer(nn.Module):
             embed, buckets = pos_bias
             pos_bias = jnp.transpose(jnp.take(embed, buckets, axis=0),
                                      (2, 0, 1))
+        # "light" also remats the LayerNorms: their f32 outputs are the
+        # residual-HBM tail once attention + FFN internals recompute
+        # (6 × f32[L, B, T, C] ≈ 5.2 GB at bs 36), and recomputing a LN
+        # from the saved bf16 carry is a trivial VPU pass.
+        ln_cls = nn.remat(nn.LayerNorm, prevent_cse=False) \
+            if cfg.remat == "light" else nn.LayerNorm
         ln = partial(
-            nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+            ln_cls, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
             param_dtype=cfg.param_dtype,
         )
         attn = GatedAttention(cfg, name="attention")
         # static_argnums counts self: (self=0, x=1, deterministic=2)
         ff_cls = nn.remat(FeedForward, prevent_cse=False, static_argnums=(2,)) \
-            if cfg.remat in ("ffn", "attn+ffn") else FeedForward
+            if cfg.remat in ("ffn", "attn+ffn", "light") else FeedForward
         ff = ff_cls(cfg, name="feed_forward")
         drop = nn.Dropout(cfg.hidden_dropout)
 

@@ -189,7 +189,8 @@ def test_jnp_buckets_match_numpy():
         np.testing.assert_array_equal(ours, ref)
 
 
-@pytest.mark.parametrize("remat", [True, "ffn", "dots", "attn", "attn+ffn"])
+@pytest.mark.parametrize("remat",
+                         [True, "ffn", "dots", "attn", "attn+ffn", "light"])
 def test_remat_policy_equivalence(tiny_pair, remat):
     """Every remat policy computes the same forward AND gradient as
     remat=False — rematerialisation must be a pure memory/compute trade.
