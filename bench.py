@@ -127,6 +127,14 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/nrse_jax_cache_tpu")
+    # Dropout PRNG implementation.  The profile (tools/analyze_profile.py)
+    # shows threefry mask generation fused into the FFN matmuls costing
+    # ~half their runtime (72 TFLOP/s effective on a 159 GFLOP fusion);
+    # 'rbg' uses the TPU hardware RNG instead.  Same Bernoulli-dropout
+    # semantics, different (still deterministic per-seed) bitstream.
+    rng_impl = os.environ.get("NRSE_BENCH_RNG")
+    if rng_impl:
+        jax.config.update("jax_default_prng_impl", rng_impl)
 
     if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":
         check = run_flash_check()

@@ -94,6 +94,8 @@ class WavLMConfig:
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
+    # conv-frontend LayerNorm statistics via thin matmuls (ops/mxu_norm.py)
+    mxu_frontend_norm: bool = True
     # gather the [H,T,T] position bias per layer from the [buckets,H] table
     # instead of broadcasting a precomputed tensor into the scan — the
     # scan's cotangent then accumulates on the tiny table, unlocking long
@@ -174,10 +176,23 @@ class ConvFeatureEncoder(nn.Module):
                 param_dtype=cfg.param_dtype, name=f"conv_{i}",
             )(h)
             if cfg.feat_extract_norm == "layer":
-                h = nn.LayerNorm(
-                    epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                    param_dtype=cfg.param_dtype, name=f"layer_norm_{i}",
-                )(h).astype(cfg.dtype)
+                if cfg.mxu_frontend_norm:
+                    # MXU-statistics LN: the profiler showed XLA's
+                    # lane-dim reduce over these [B, 4000..16000, 512]
+                    # tensors at ~78 GB/s ≈ 10% of the train step
+                    # (ops/mxu_norm.py; same math and param layout)
+                    from nrse_tpu.ops.mxu_norm import MXUChannelLayerNorm
+
+                    h = MXUChannelLayerNorm(
+                        epsilon=cfg.layer_norm_eps,
+                        param_dtype=cfg.param_dtype,
+                        name=f"layer_norm_{i}",
+                    )(h).astype(cfg.dtype)
+                else:
+                    h = nn.LayerNorm(
+                        epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype, name=f"layer_norm_{i}",
+                    )(h).astype(cfg.dtype)
             elif cfg.feat_extract_norm == "group" and i == 0:
                 h = nn.GroupNorm(
                     num_groups=dim, dtype=jnp.float32,

@@ -34,6 +34,14 @@ def main(argv=None):
     if config.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    # tpu.rng_impl: 'threefry2x32' (default) | 'rbg' | 'unsafe_rbg'.
+    # rbg uses the TPU hardware RNG for dropout masks — the profiler shows
+    # threefry generation fused into the FFN matmuls costing ~half their
+    # runtime (see tools/analyze_profile.py / docs/round2_status.md).
+    rng_impl = config.get("tpu", {}).get("rng_impl")
+    if rng_impl:
+        jax.config.update("jax_default_prng_impl", rng_impl)
+
     # multi-host (multi-slice) wiring — must precede backend initialization;
     # no-op unless the config carries tpu.distributed.enabled
     from nrse_tpu.parallel.distributed import (
