@@ -132,8 +132,8 @@ def main():
     # ~half their runtime (72 TFLOP/s effective on a 159 GFLOP fusion);
     # 'rbg' uses the TPU hardware RNG instead.  Same Bernoulli-dropout
     # semantics, different (still deterministic per-seed) bitstream.
-    rng_impl = os.environ.get("NRSE_BENCH_RNG")
-    if rng_impl:
+    rng_impl = os.environ.get("NRSE_BENCH_RNG", "rbg")
+    if rng_impl and rng_impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", rng_impl)
 
     if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":

@@ -151,7 +151,8 @@ def plot_confusion_matrix(cm, class_names, filename="confusion_matrix.png",
 
 def train_categorical_emotions(config) -> Dict:
     setup_logger(config)
-    rng = set_seed(config["training"].get("seed", 42))
+    rng = set_seed(config["training"].get("seed", 42),
+                   rng_impl=config.get("tpu", {}).get("rng_impl"))
     em = config["emotion"]
     wandb = get_wandb(config["logging"].get("wandb_mode", "disabled"))
     wandb.init(project="nrse-emotion-categorical", config=config,

@@ -93,7 +93,8 @@ def _validate(params, val_loader, eval_step, place_batch=None):
 
 def train_dimensional_emotions(config) -> Dict:
     setup_logger(config)
-    rng = set_seed(config["training"].get("seed", 42))
+    rng = set_seed(config["training"].get("seed", 42),
+                   rng_impl=config.get("tpu", {}).get("rng_impl"))
     em = config["emotion"]
     wandb = get_wandb(config["logging"].get("wandb_mode", "disabled"))
     wandb.init(project="nrse-emotion-dimensional", config=config,

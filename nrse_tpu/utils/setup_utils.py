@@ -13,10 +13,19 @@ import random
 import numpy as np
 
 
-def set_seed(seed: int = 42):
-    """Seed host RNGs and return a root JAX PRNG key."""
+def set_seed(seed: int = 42, rng_impl=None):
+    """Seed host RNGs and return a root JAX PRNG key.
+
+    ``rng_impl`` (config ``tpu.rng_impl``): 'threefry2x32' | 'rbg' |
+    'unsafe_rbg'.  'rbg' generates dropout bits with the TPU hardware RNG —
+    profiling showed threefry mask generation fused into the FFN matmuls
+    costing ~half their runtime (docs/round2_status.md).  Must be applied
+    before the root key is created, hence it lives here.
+    """
     random.seed(seed)
     np.random.seed(seed)
     import jax
 
+    if rng_impl and rng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", rng_impl)
     return jax.random.PRNGKey(seed)

@@ -76,7 +76,9 @@ def main():
         "console_level": "WARNING",
         "visualization_interval": max(args.epochs, 2),  # final-epoch t-SNE
     })
-    config["tpu"]["remat"] = args.remat
+    config["tpu"]["remat"] = {
+        "true": True, "1": True, "full": True, "false": False, "0": False,
+    }.get(str(args.remat).lower(), args.remat)
     cfg_path = "/tmp/nrse_conv_config.yaml"
     with open(cfg_path, "w") as f:
         yaml.safe_dump(config, f)

@@ -34,14 +34,6 @@ def main(argv=None):
     if config.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    # tpu.rng_impl: 'threefry2x32' (default) | 'rbg' | 'unsafe_rbg'.
-    # rbg uses the TPU hardware RNG for dropout masks — the profiler shows
-    # threefry generation fused into the FFN matmuls costing ~half their
-    # runtime (see tools/analyze_profile.py / docs/round2_status.md).
-    rng_impl = config.get("tpu", {}).get("rng_impl")
-    if rng_impl:
-        jax.config.update("jax_default_prng_impl", rng_impl)
-
     # multi-host (multi-slice) wiring — must precede backend initialization;
     # no-op unless the config carries tpu.distributed.enabled
     from nrse_tpu.parallel.distributed import (
@@ -73,7 +65,8 @@ def main(argv=None):
     from nrse_tpu.utils.wandb_utils import get_wandb
 
     setup_logger(config)
-    root_rng = set_seed(config["training"].get("seed", 42))
+    root_rng = set_seed(config["training"].get("seed", 42),
+                        rng_impl=config.get("tpu", {}).get("rng_impl"))
     os.makedirs(config["training"]["checkpoint_dir"], exist_ok=True)
     os.makedirs(config["training"]["log_dir"], exist_ok=True)
 
