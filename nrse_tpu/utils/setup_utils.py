@@ -24,8 +24,17 @@ def set_seed(seed: int = 42, rng_impl=None):
     """
     random.seed(seed)
     np.random.seed(seed)
+    import os
+
     import jax
 
     if rng_impl and rng_impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", rng_impl)
+    # persistent XLA compile cache: TPU compiles go through a tunnel here
+    # and cost minutes — cache them per backend like bench.py does
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("NRSE_COMPILE_CACHE", "/tmp/nrse_jax_cache"),
+        )
     return jax.random.PRNGKey(seed)

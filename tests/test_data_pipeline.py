@@ -118,3 +118,30 @@ def test_loader_uses_fast_path(dataset):
                             shuffle=False, num_workers=1, drop_last=True)
     batch = next(iter(loader))
     assert set(batch) == {"clean", "noise", "snr", "__count__"}
+
+
+def test_synthetic_emotion_corpus_roundtrip(tmp_path):
+    """generate_emotion_corpus writes the MSP-Podcast v1.11 schema the
+    emotion pipeline consumes: EmotionDataset must parse the CSV, find the
+    audio, and yield masked tensors with valid class indices for both
+    splits (the SER quality-evidence path, tools/ser_report.py)."""
+    from nrse_tpu.data.emotion_dataset import EmotionDataset
+    from nrse_tpu.data.synthetic import generate_emotion_corpus
+
+    audio_dir, csv_path = generate_emotion_corpus(
+        str(tmp_path), n_train=12, n_dev=6, seconds=1.0, verbose=False
+    )
+    for split, expect in (("Train", 12), ("Development", 6)):
+        ds = EmotionDataset(
+            labels_file=csv_path, audio_dir=audio_dir, split=split,
+            max_audio_length=1.0,
+        )
+        assert len(ds) == expect
+        import numpy as np
+
+        item = ds.sample(0, np.random.default_rng(0))
+        assert item["input_values"].shape == (16000,)
+        assert item["attention_mask"].shape == (16000,)
+        assert 0 <= int(item["C"]) <= 7
+        for k in ("A", "V", "D"):
+            assert np.isfinite(float(item[k]))
