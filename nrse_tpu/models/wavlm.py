@@ -94,7 +94,12 @@ class WavLMConfig:
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
-    # conv-frontend LayerNorm statistics via thin matmuls (ops/mxu_norm.py)
+    # conv-frontend LayerNorm statistics via thin matmuls (ops/mxu_norm.py).
+    # Measured: constant-ones form 459.3 audio-sec/sec vs 454.0 plain
+    # nn.LayerNorm vs 457.1 with an optimization_barrier forcing the dot —
+    # XLA canonicalises the constant-ones dot back into a reduce yet the
+    # rewritten form still fuses ~1% better, so it stays on; the real fix
+    # for the frontend-LN ~10% is a fused Pallas LN+gelu kernel (round 3).
     mxu_frontend_norm: bool = True
     # gather the [H,T,T] position bias per layer from the [buckets,H] table
     # instead of broadcasting a precomputed tensor into the scan — the

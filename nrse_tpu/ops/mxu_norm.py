@@ -37,11 +37,12 @@ class MXUChannelLayerNorm(nn.Module):
                           self.param_dtype)
 
         xf = x.astype(jnp.float32)
-        # Σx and Σx² in one [.., C] @ [C, 2] matmul: column 0 weights x by
-        # 1 (plain sum), column 1 is applied to x² via a second operand
-        # row — implemented as a stacked [.., 2C] @ [2C, 2]-style trick
-        # would double traffic, so instead do two thin dots that XLA fuses
-        # into one MXU pass over the operand.
+        # Σx and Σx² as thin [.., C] @ [C, 1] dots.  Measured caveat
+        # (docs/round2_status.md): XLA canonicalises dot-with-constant-ones
+        # back into a lane reduce, so the MXU doesn't actually run these —
+        # but the rewritten form still measured best of the three variants
+        # tried (459.3 vs 454.0 plain LN vs 457.1 with an
+        # optimization_barrier forcing a real dot), so it ships as-is.
         ones = jnp.ones((c, 1), jnp.float32)
         s1 = jnp.matmul(xf, ones, preferred_element_type=jnp.float32)
         s2 = jnp.matmul(xf * xf, ones, preferred_element_type=jnp.float32)
