@@ -87,40 +87,14 @@ def run_flash_check():
 
 
 def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
-    """Generate (once) a WAV corpus at /tmp for the data-fed bench mode."""
-    import numpy as np
-
-    from nrse_tpu.audio.io import save_wav
+    """Generate (once) a WAV corpus at /tmp for the data-fed bench mode
+    (delegates to the shared structured generator in data/synthetic.py)."""
+    from nrse_tpu.data.synthetic import generate_corpus
 
     root = os.environ.get(
         "NRSE_BENCH_CORPUS_DIR", f"/tmp/nrse_bench_corpus_{n_clean}"
     )
-    clean_dir = os.path.join(root, "clean")
-    noise_dir = os.path.join(root, "noise")
-    marker = os.path.join(root, ".complete")
-    if os.path.exists(marker):
-        return clean_dir, noise_dir
-    os.makedirs(clean_dir, exist_ok=True)
-    os.makedirs(noise_dir, exist_ok=True)
-    t0 = time.perf_counter()
-    rng = np.random.default_rng(0)
-    sr = 16000
-    for i in range(n_clean):
-        dur = float(rng.uniform(0.8, 1.3) * seconds)
-        t_ax = np.arange(int(sr * dur)) / sr
-        x = 0.3 * np.sin(2 * np.pi * rng.uniform(80, 300) * t_ax)
-        x += 0.02 * rng.standard_normal(t_ax.shape)
-        save_wav(os.path.join(clean_dir, f"c{i:06d}.wav"),
-                 x.astype(np.float32), sr)
-    for i in range(n_noise):
-        n = 0.2 * rng.standard_normal(int(sr * seconds))
-        save_wav(os.path.join(noise_dir, f"n{i:06d}.wav"),
-                 n.astype(np.float32), sr)
-    with open(marker, "w") as f:
-        f.write("ok")
-    print(f"# bench: corpus {n_clean}+{n_noise} files written in "
-          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
-    return clean_dir, noise_dir
+    return generate_corpus(root, n_clean, n_noise, seconds)
 
 
 def main():

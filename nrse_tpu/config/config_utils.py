@@ -70,10 +70,27 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 
 def default_device() -> str:
-    """Best available JAX platform name."""
+    """Best available JAX platform name — WITHOUT initializing the backend
+    when the platform is pinned by environment/config.
+
+    ``jax.default_backend()`` initializes the runtime; in multi-host mode
+    that must not happen before ``jax.distributed.initialize`` (called
+    from the train entry AFTER config loading), so prefer the declared
+    platform list and only fall back to real backend detection when
+    nothing is pinned (single-host case, where early init is harmless).
+    """
+    import os
+
     try:
         import jax
 
+        plats = os.environ.get("JAX_PLATFORMS") or \
+            (jax.config.jax_platforms or "")
+        first = plats.split(",")[0].strip().lower()
+        if first in ("cpu", "gpu", "cuda", "rocm", "tpu"):
+            return {"cuda": "gpu", "rocm": "gpu"}.get(first, first)
+        if first:  # a platform plugin name (e.g. a tunneled TPU backend)
+            return "tpu"
         return jax.default_backend()
     except Exception:  # pragma: no cover - jax should always import
         return "cpu"
@@ -152,8 +169,8 @@ def get_config(argv=None) -> Dict[str, Any]:
 
     if args.device is not None:
         config["device"] = args.device
-    else:
-        config["device"] = default_device()
+    # else: validate_config fills it via default_device() (which must not
+    # initialize the backend when a platform is pinned — multi-host trap)
 
     config.setdefault("training", {})
     if args.batch_size is not None:

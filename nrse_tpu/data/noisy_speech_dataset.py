@@ -208,8 +208,8 @@ def create_dataloaders(config, feature_extractor=None, featurize: bool = False):
         val_idx = val_idx[pid::nproc]
         # equal step counts on every process (ragged tails deadlock the
         # gradient all-reduce)
-        train_idx = train_idx[: (len(perm[:train_size]) // nproc)]
-        val_idx = val_idx[: (len(perm[train_size:]) // nproc)]
+        train_idx = train_idx[: train_size // nproc]
+        val_idx = val_idx[: (len(perm) - train_size) // nproc]
     train_loader = HostDataLoader(
         dataset, train_idx, bs, shuffle=True, seed=seed,
         num_workers=num_workers, drop_last=True,

@@ -23,12 +23,19 @@ from nrse_tpu.utils.logging_utils import logger
 
 def _local_rows(x) -> np.ndarray:
     """Fetch an eval output to host: this process's rows of a global array
-    (multi-host), or the whole array (single-host)."""
+    (multi-host), or the whole array (single-host).
+
+    Shards are sorted by their position in the global array — the order of
+    ``addressable_shards`` is a device-enumeration detail, and these rows
+    must line up with the host batch (padding-drop slice + SNR bucketing).
+    """
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
-    return np.concatenate(
-        [np.asarray(s.data) for s in x.addressable_shards]
+    shards = sorted(
+        x.addressable_shards,
+        key=lambda s: tuple(sl.start or 0 for sl in s.index),
     )
+    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def _run_eval_pass(model, state, dataloader, collect_embeddings: bool = False,
@@ -83,9 +90,18 @@ def validate_model(model, state, val_loader, config,
                                            placer=placer)
     avg_loss = float(np.concatenate(losses).mean()) if losses else float("inf")
     similarities = {}
+    stats = {
+        "loss_sum": float(np.concatenate(losses).sum()) if losses else 0.0,
+        "loss_cnt": float(sum(len(l) for l in losses)),
+    }
     for snr in config["data"]["snr_range"]:
         mask = snrs == float(snr)
         similarities[snr] = float(sims[mask].mean()) if mask.any() else 0.0
+        # raw sums/counts so multi-host aggregation can weight correctly —
+        # a process whose shard has an empty SNR bin must not contribute a
+        # 0.0 placeholder to the cluster mean (train_byol.py)
+        stats[f"snr_{snr}_sum"] = float(sims[mask].sum())
+        stats[f"snr_{snr}_cnt"] = float(mask.sum())
     avg_similarity = (
         sum(similarities.values()) / len(similarities) if similarities else 0.0
     )
@@ -93,6 +109,7 @@ def validate_model(model, state, val_loader, config,
         "val_loss": avg_loss,
         "val_avg_similarity": avg_similarity,
         "val_similarities": similarities,
+        "val_stats": stats,
     }
     return avg_loss, metrics
 

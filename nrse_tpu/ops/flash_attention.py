@@ -556,6 +556,11 @@ def flash_gated_attention(q, k, v, gate, bias_rel,
         t_pad = _ceil_to(t, block_q)
         block_q = min(block_q, t_pad)
         block_k = min(block_k, t_pad)
+        if t_pad % block_k:
+            # every kernel iterates nk = t_pad // block_k — a non-divisor
+            # would silently drop trailing keys and leave dk/dv rows
+            # unwritten.  t_pad is a block_q multiple by construction.
+            block_k = block_q
     pad_t = t_pad - t
 
     if key_padding_mask is None:

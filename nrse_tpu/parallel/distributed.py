@@ -159,6 +159,21 @@ def aggregate_metrics(metrics: Dict[str, Any]) -> Dict[str, float]:
     return {k: float(m) for k, m in zip(keys, mean)}
 
 
+def aggregate_sums(metrics: Dict[str, Any]) -> Dict[str, float]:
+    """Sum of host-side scalar metrics across processes — for weighted
+    means from per-process (sum, count) pairs, where averaging the
+    per-process means would let empty-bin placeholders pollute the result."""
+    if process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    local = np.asarray([float(metrics[k]) for k in keys], np.float32)
+    gathered = multihost_utils.process_allgather(local)  # [nproc, K]
+    total = np.asarray(gathered).sum(axis=0)
+    return {k: float(t) for k, t in zip(keys, total)}
+
+
 def broadcast_scalar(value: float, source: int = 0) -> float:
     """Agree on one host-side scalar (e.g. the early-stopping decision)."""
     if process_count() == 1:

@@ -46,6 +46,26 @@ def make_mesh(data: int = -1, model: int = 1,
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
     assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    if data * model < n:
+        # deliberate subset meshes are allowed (small-batch SER configs),
+        # but silently idling chips is the classic hidden-slowdown bug —
+        # make it visible, and refuse it outright under multi-host where
+        # the subset could exclude every device of some process
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            raise ValueError(
+                f"tpu.mesh {data}x{model} uses only {data * model} of {n} "
+                f"devices — subset meshes are not supported in multi-host "
+                f"mode (a process could own zero mesh devices)"
+            )
+        from nrse_tpu.utils.logging_utils import logger
+
+        logger.warning(
+            f"mesh {data}x{model} uses {data * model} of {n} devices — "
+            f"{n - data * model} chips will idle (intended for small-batch "
+            f"fine-tuning configs; set tpu.mesh data: -1 to use all)"
+        )
     devices = devices[: data * model]
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))

@@ -56,12 +56,28 @@ def make_emotion_optimizer(learning_rate, weight_decay: float = 1e-4,
     )
 
 
-def set_injected_learning_rate(opt_state, learning_rate) -> None:
+def set_injected_learning_rate(opt_state, learning_rate) -> bool:
     """Write ``learning_rate`` into the (possibly chain-nested)
-    ``inject_hyperparams`` state in place."""
-    if hasattr(opt_state, "hyperparams"):
-        opt_state.hyperparams["learning_rate"] = learning_rate
-        return
-    if isinstance(opt_state, tuple):
-        for sub in opt_state:
-            set_injected_learning_rate(sub, learning_rate)
+    ``inject_hyperparams`` state in place.
+
+    Returns whether a hyperparams node was found; raises if none was —
+    a silent no-op would freeze the LR at its init value for the whole
+    run (e.g. after wrapping the optimizer in ``optax.masked`` /
+    ``multi_transform``, which changes the state tree shape).
+    """
+
+    def walk(state) -> bool:
+        found = False
+        if hasattr(state, "hyperparams"):
+            state.hyperparams["learning_rate"] = learning_rate
+            found = True
+        elif isinstance(state, tuple):
+            found = any([walk(sub) for sub in state])
+        return found
+
+    if not walk(opt_state):
+        raise ValueError(
+            "no inject_hyperparams state found in the optimizer state tree "
+            "— the per-epoch LR schedule would be silently ignored"
+        )
+    return True

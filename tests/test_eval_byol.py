@@ -46,7 +46,18 @@ def test_validate_model_fused(setup):
     val_loss, metrics = validate_model(model, state, loader, config)
     assert np.isfinite(val_loss)
     assert set(metrics) == {"val_loss", "val_avg_similarity",
-                            "val_similarities"}
+                            "val_similarities", "val_stats"}
+    # raw sums/counts must reproduce the means (multi-host weighting path)
+    stats = metrics["val_stats"]
+    assert val_loss == pytest.approx(
+        stats["loss_sum"] / stats["loss_cnt"], rel=1e-6
+    )
+    for snr, sim in metrics["val_similarities"].items():
+        cnt = stats[f"snr_{snr}_cnt"]
+        if cnt:
+            assert sim == pytest.approx(
+                stats[f"snr_{snr}_sum"] / cnt, rel=1e-5
+            )
     assert set(metrics["val_similarities"]) == {0, 5, 10}
     # avg = mean of per-SNR means (reference evaluate_byol.py:113-115)
     expect = np.mean([v for v in metrics["val_similarities"].values()])

@@ -37,7 +37,7 @@ def main(argv=None):
     # multi-host (multi-slice) wiring — must precede backend initialization;
     # no-op unless the config carries tpu.distributed.enabled
     from nrse_tpu.parallel.distributed import (
-        aggregate_metrics,
+        aggregate_sums,
         broadcast_scalar,
         is_primary,
         make_global_batch,
@@ -161,21 +161,23 @@ def main(argv=None):
         val_loss, val_metrics = validate_model(model, state, val_loader,
                                                config, placer=placer)
         if process_count() > 1:
-            # each process validated its own shard — agree on the means so
-            # early stopping / best-checkpoint decisions are identical
-            flat = {"val_loss": val_loss,
-                    "val_avg_similarity": val_metrics["val_avg_similarity"]}
-            for snr, sim in val_metrics["val_similarities"].items():
-                flat[f"snr_{snr}"] = sim
-            agg = aggregate_metrics(flat)
-            val_loss = agg["val_loss"]
+            # each process validated its own shard — pool raw sums/counts
+            # so the cluster agrees on WEIGHTED means (a process whose
+            # shard misses an SNR bin must not average in a 0.0
+            # placeholder) and early stopping / best-checkpoint decisions
+            # are identical everywhere
+            totals = aggregate_sums(val_metrics["val_stats"])
+            val_loss = totals["loss_sum"] / max(totals["loss_cnt"], 1.0)
+            similarities = {}
+            for snr in val_metrics["val_similarities"]:
+                cnt = totals[f"snr_{snr}_cnt"]
+                if cnt > 0:
+                    similarities[snr] = totals[f"snr_{snr}_sum"] / cnt
             val_metrics = {
                 "val_loss": val_loss,
-                "val_avg_similarity": agg["val_avg_similarity"],
-                "val_similarities": {
-                    snr: agg[f"snr_{snr}"]
-                    for snr in val_metrics["val_similarities"]
-                },
+                "val_avg_similarity":
+                    sum(similarities.values()) / max(len(similarities), 1),
+                "val_similarities": similarities,
             }
 
         log_dict = {
