@@ -149,6 +149,7 @@ def main():
                    "attn": "attn", "attn+ffn": "attn+ffn",
                    "light": "light"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
+            frontend_norm=os.environ.get("NRSE_BENCH_FNORM", "mxu"),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

@@ -94,13 +94,17 @@ class WavLMConfig:
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
-    # conv-frontend LayerNorm statistics via thin matmuls (ops/mxu_norm.py).
-    # Measured: constant-ones form 459.3 audio-sec/sec vs 454.0 plain
-    # nn.LayerNorm vs 457.1 with an optimization_barrier forcing the dot —
-    # XLA canonicalises the constant-ones dot back into a reduce yet the
-    # rewritten form still fuses ~1% better, so it stays on; the real fix
-    # for the frontend-LN ~10% is a fused Pallas LN+gelu kernel (round 3).
-    mxu_frontend_norm: bool = True
+    # conv-frontend channel-LayerNorm implementation:
+    #   "xla"    — plain nn.LayerNorm (454.0 audio-sec/sec measured);
+    #   "mxu"    — thin-matmul stats, ops/mxu_norm.py (459.3; XLA
+    #              canonicalises the dot back to a reduce but the form
+    #              still fuses ~1% better);
+    #   "pallas" — ops/pallas_norm.py streaming row-block kernel with a
+    #              custom VJP.  Measured SLOWER (375.4): the custom-call
+    #              boundaries break XLA's conv→LN→gelu fusion, costing
+    #              more than the LN reduce saves — a real Pallas win here
+    #              needs the whole conv+LN+gelu block in one kernel.
+    frontend_norm: str = "mxu"
     # gather the [H,T,T] position bias per layer from the [buckets,H] table
     # instead of broadcasting a precomputed tensor into the scan — the
     # scan's cotangent then accumulates on the tiny table, unlocking long
@@ -181,14 +185,22 @@ class ConvFeatureEncoder(nn.Module):
                 param_dtype=cfg.param_dtype, name=f"conv_{i}",
             )(h)
             if cfg.feat_extract_norm == "layer":
-                if cfg.mxu_frontend_norm:
-                    # MXU-statistics LN: the profiler showed XLA's
-                    # lane-dim reduce over these [B, 4000..16000, 512]
-                    # tensors at ~78 GB/s ≈ 10% of the train step
-                    # (ops/mxu_norm.py; same math and param layout)
+                # three interchangeable channel-LN implementations (same
+                # math + param layout; see WavLMConfig.frontend_norm)
+                if cfg.frontend_norm == "pallas":
+                    from nrse_tpu.ops.pallas_norm import (
+                        PallasChannelLayerNorm,
+                    )
+
+                    ln_cls = PallasChannelLayerNorm
+                elif cfg.frontend_norm == "mxu":
                     from nrse_tpu.ops.mxu_norm import MXUChannelLayerNorm
 
-                    h = MXUChannelLayerNorm(
+                    ln_cls = MXUChannelLayerNorm
+                else:
+                    ln_cls = None
+                if ln_cls is not None:
+                    h = ln_cls(
                         epsilon=cfg.layer_norm_eps,
                         param_dtype=cfg.param_dtype,
                         name=f"layer_norm_{i}",

@@ -221,3 +221,31 @@ def test_remat_policy_equivalence(tiny_pair, remat):
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["mxu", "pallas"])
+def test_frontend_norm_variants_match_flax(impl):
+    """The MXU / Pallas channel-LN variants must reproduce nn.LayerNorm
+    (forward AND gradients) — they are interchangeable implementations of
+    the conv-frontend norm, selected by WavLMConfig.frontend_norm."""
+    import dataclasses
+
+    from flax import linen as fnn
+
+    cfg = WavLMConfig.tiny(layerdrop=0.0)
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 7000)).astype(np.float32))
+    base_cfg = dataclasses.replace(cfg, frontend_norm="xla")
+    var_cfg = dataclasses.replace(cfg, frontend_norm=impl)
+    params = WavLMModel(base_cfg).init(jax.random.PRNGKey(0), x)
+
+    def loss(p, c):
+        seq, pooled = WavLMModel(c).apply(p, x)
+        return jnp.sum(pooled.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, base_cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, var_cfg)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4)
