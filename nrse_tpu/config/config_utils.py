@@ -89,8 +89,13 @@ def default_device() -> str:
         first = plats.split(",")[0].strip().lower()
         if first in ("cpu", "gpu", "cuda", "rocm", "tpu"):
             return {"cuda": "gpu", "rocm": "gpu"}.get(first, first)
-        if first:  # a platform plugin name (e.g. a tunneled TPU backend)
+        if first in ("axon", "libtpu", "tpu_driver"):
+            # KNOWN TPU tunnel/plugin names only — an arbitrary plugin
+            # (e.g. METAL) must not be misreported as TPU and trip
+            # TPU-only config branches
             return "tpu"
+        if first:
+            return first  # unknown pinned plugin: report it verbatim
         return jax.default_backend()
     except Exception:  # pragma: no cover - jax should always import
         return "cpu"

@@ -96,7 +96,11 @@ def validate_model(model, state, val_loader, config,
     }
     for snr in config["data"]["snr_range"]:
         mask = snrs == float(snr)
-        similarities[snr] = float(sims[mask].mean()) if mask.any() else 0.0
+        # empty bins are OMITTED (not averaged in as 0.0) so the single-host
+        # metric agrees with the multi-host aggregation in train_byol.py —
+        # both compute the mean over populated bins only
+        if mask.any():
+            similarities[snr] = float(sims[mask].mean())
         # raw sums/counts so multi-host aggregation can weight correctly —
         # a process whose shard has an empty SNR bin must not contribute a
         # 0.0 placeholder to the cluster mean (train_byol.py)

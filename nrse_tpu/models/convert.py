@@ -60,7 +60,9 @@ def strip_prefix(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
 def hf_wavlm_to_params(state_dict: Mapping[str, Any],
                        config: WavLMConfig) -> Dict[str, Any]:
     """Convert an HF ``WavLMModel`` state dict to our parameter pytree."""
-    sd = dict(state_dict)
+    # read through the caller's mapping (never mutated) — the full-scale
+    # converter test wraps it to assert every key is consumed
+    sd = state_dict
     p: Dict[str, Any] = {}
 
     # conv feature encoder ---------------------------------------------------

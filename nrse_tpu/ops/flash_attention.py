@@ -580,7 +580,59 @@ def flash_gated_attention(q, k, v, gate, bias_rel,
     gate4 = gate[..., None]                               # [B,H,Tp,1]
     mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
-    out = _flash_core(q, k, v, gate4, bias_rel, mask_add, block_q, block_k)
+    core = _tp_wrapped_core(b, h, block_q, block_k)
+    out = core(q, k, v, gate4, bias_rel, mask_add)
     if pad_t:
         out = out[:, :, :t, :]
     return out
+
+
+def _tp_wrapped_core(b: int, h: int, block_q: int, block_k: int):
+    """The flash core, shard_mapped over the registered TP mesh when one is
+    active with ``model`` axis > 1.
+
+    GSPMD does not partition ``pallas_call``: under tensor parallelism the
+    kernel must be explicitly mapped over the head dimension (heads are
+    independent — q/k/v/gate/bias/outputs all split on H with no collectives
+    inside; dbias rows land on the shard owning those heads).  The mesh is
+    registered by the training entry via
+    ``parallel.mesh.set_flash_tp_mesh`` — the kernel cannot observe the
+    surrounding jit's shardings on its own.
+    """
+    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
+
+    ctx = get_flash_tp_mesh()
+    if ctx is None:
+        return lambda *args: _flash_core(*args, block_q, block_k)
+    mesh, data_ax, model_ax = ctx
+    n_model = mesh.shape.get(model_ax, 1)
+    n_data = mesh.shape.get(data_ax, 1)
+    if n_model <= 1:
+        return lambda *args: _flash_core(*args, block_q, block_k)
+    if h % n_model:
+        raise ValueError(
+            f"flash attention under TP: {h} heads not divisible by the "
+            f"'{model_ax}' mesh axis ({n_model}) — use a head-divisible "
+            f"model axis or disable tpu.flash_attention"
+        )
+    if b % n_data:
+        raise ValueError(
+            f"flash attention under TP: batch {b} not divisible by the "
+            f"'{data_ax}' mesh axis ({n_data})"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    bhtd = P(data_ax, model_ax, None, None)
+    return jax.shard_map(
+        lambda q_, k_, v_, g_, br_, ma_: _flash_core(
+            q_, k_, v_, g_, br_, ma_, block_q, block_k
+        ),
+        mesh=mesh,
+        in_specs=(bhtd, bhtd, bhtd, bhtd, P(model_ax, None),
+                  P(data_ax, None, None)),
+        out_specs=bhtd,
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # the body is collective-free (per-head independent), so the
+        # replication checker has nothing to verify anyway
+        check_vma=False,
+    )

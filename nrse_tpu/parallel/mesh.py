@@ -71,6 +71,34 @@ def make_mesh(data: int = -1, model: int = 1,
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+# ---------------------------------------------------------------------------
+# Flash-attention × TP registry
+# ---------------------------------------------------------------------------
+#
+# ``pallas_call`` is NOT auto-partitioned by GSPMD: with tensor parallelism
+# (``model`` axis > 1) the flash kernels would be replicated-and-gathered
+# (or fail to lower).  Entry points that enable flash attention on a TP mesh
+# register the mesh here; ``ops.flash_attention`` then shard_maps the kernel
+# over the head dimension (heads are embarrassingly parallel — 16 heads
+# divide any power-of-two model axis ≤ 16, no collectives inside).
+
+_FLASH_TP = None  # Optional[Tuple[Mesh, str data_axis, str model_axis]]
+
+
+def set_flash_tp_mesh(mesh: Optional[Mesh], data_axis: str = "data",
+                      model_axis: str = "model") -> None:
+    """Register (or clear, with ``None``) the mesh the flash kernels must
+    shard_map over.  Call this whenever flash attention runs under a mesh
+    with ``model`` axis > 1 — the kernels cannot detect TP on their own."""
+    global _FLASH_TP
+    _FLASH_TP = None if mesh is None else (mesh, data_axis, model_axis)
+
+
+def get_flash_tp_mesh():
+    """The registered (mesh, data_axis, model_axis), or None."""
+    return _FLASH_TP
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over ``data``."""
     return NamedSharding(mesh, P("data"))

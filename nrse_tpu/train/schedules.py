@@ -71,8 +71,11 @@ def set_injected_learning_rate(opt_state, learning_rate) -> bool:
         if hasattr(state, "hyperparams"):
             state.hyperparams["learning_rate"] = learning_rate
             found = True
-        elif isinstance(state, tuple):
-            found = any([walk(sub) for sub in state])
+        # keep descending even after a hit: with NESTED inject_hyperparams
+        # states (e.g. inject(chain(inject(adamw)))) every level must be
+        # updated or the inner LR silently stays frozen at its init value
+        if isinstance(state, tuple):
+            found = any([walk(sub) for sub in state]) or found
         return found
 
     if not walk(opt_state):

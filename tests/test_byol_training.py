@@ -165,6 +165,40 @@ def test_checkpoint_roundtrip(tmp_path, model_and_state):
     assert int(resumed.step) == int(trained.step) + 1
 
 
+def test_checkpoint_rng_impl_migration(tmp_path, model_and_state):
+    """Resuming a checkpoint written under a different tpu.rng_impl (key
+    shape (2,) threefry vs (4,) rbg) must not fail: mismatched leaves are
+    grafted from the fresh template and everything else restores (ADVICE
+    r2: presets moved to rng_impl=rbg, which changed the key shape)."""
+    import dataclasses
+
+    from nrse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    model, opt, state = model_and_state
+    # simulate an old threefry checkpoint: (2,) uint32 key
+    old = dataclasses.replace(
+        state, rng=jnp.array([1, 2], jnp.uint32), step=jnp.asarray(7, jnp.int32)
+    )
+    save_checkpoint(str(tmp_path), "last_model", old, {"epoch": 7})
+
+    # resume under the new impl: (4,) uint32 template key
+    fresh = dataclasses.replace(
+        state, rng=jnp.array([9, 9, 9, 9], jnp.uint32)
+    )
+    restored, meta = restore_checkpoint(str(tmp_path), "last_model", fresh)
+    assert meta["epoch"] == 7
+    # the rng leaf kept the template's freshly-seeded key
+    np.testing.assert_array_equal(np.asarray(restored.rng), [9, 9, 9, 9])
+    # everything else came from the checkpoint
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(old.variables),
+                    jax.tree.leaves(restored.variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(old.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_init_target_buffers_not_aliased(model_and_state):
     """The target tower must be a REAL copy of the online subtrees: a buffer
     appearing twice in the donated train state is donated twice, which the

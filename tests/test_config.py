@@ -40,6 +40,20 @@ def test_default_device_autodetect():
     assert cfg["device"] in ("cpu", "tpu", "gpu")
 
 
+def test_default_device_unknown_plugin(monkeypatch):
+    """Only KNOWN TPU tunnel plugins map to 'tpu'; an arbitrary plugin name
+    (e.g. METAL) must be reported verbatim, not misreported as TPU
+    (ADVICE r2)."""
+    from nrse_tpu.config.config_utils import default_device
+
+    monkeypatch.setenv("JAX_PLATFORMS", "METAL")
+    assert default_device() == "metal"
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert default_device() == "tpu"
+    monkeypatch.setenv("JAX_PLATFORMS", "cuda")
+    assert default_device() == "gpu"
+
+
 def test_validate_fills_defaults():
     cfg = load_config(preset_path("dev_wavlm-large_byol"))
     del cfg["training"]["early_stopping_metric"]

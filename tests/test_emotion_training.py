@@ -273,3 +273,32 @@ def test_emotion_optimizer_clips_gradients():
     assert float(jnp.abs(updates["w"]).max()) <= 1.0 + 1e-5
     # and the clip state is genuinely in the chain
     assert isinstance(os_, tuple) and len(os_) == 2
+
+
+def test_nested_inject_hyperparams_all_updated():
+    """With NESTED inject_hyperparams states, every level must receive the
+    new LR — the walk must keep descending after the first hit (ADVICE r2:
+    an 'elif' stopped at the outermost node, silently freezing inner LRs)."""
+    import optax
+
+    from nrse_tpu.train.schedules import set_injected_learning_rate
+
+    inner = optax.inject_hyperparams(optax.sgd)(learning_rate=0.1)
+    outer = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(optax.scale(1.0), inner)
+    )(learning_rate=0.1)
+    os_ = outer.init({"w": jnp.zeros((2,))})
+
+    set_injected_learning_rate(os_, 0.5)
+
+    found = []
+
+    def collect(state):
+        if hasattr(state, "hyperparams"):
+            found.append(float(state.hyperparams["learning_rate"]))
+        if isinstance(state, tuple):
+            for sub in state:
+                collect(sub)
+
+    collect(os_)
+    assert len(found) >= 2 and all(lr == 0.5 for lr in found)

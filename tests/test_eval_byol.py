@@ -67,6 +67,27 @@ def test_validate_model_fused(setup):
         assert -1.0 <= v <= 1.0
 
 
+def test_validate_model_omits_empty_bins(setup, monkeypatch):
+    """An SNR bin with no validation samples must be OMITTED from
+    val_similarities / the average (not averaged in as 0.0) so single-host
+    semantics match the multi-host sums/counts aggregation (ADVICE r2)."""
+    import nrse_tpu.eval.evaluate_byol as ev
+
+    model, state, loader, config = setup
+    losses = [np.array([0.5, 0.7])]
+    sims = np.array([0.9, 0.8])
+    snrs = np.array([0.0, 0.0])  # bins 5 and 10 empty
+
+    monkeypatch.setattr(ev, "_run_eval_pass",
+                        lambda *a, **k: (losses, sims, snrs, []))
+    val_loss, metrics = ev.validate_model(model, state, loader, config)
+    assert set(metrics["val_similarities"]) == {0}
+    assert metrics["val_avg_similarity"] == pytest.approx(0.85)
+    # stats still carry zero-count keys for the multi-host aggregation
+    assert metrics["val_stats"]["snr_5_cnt"] == 0.0
+    assert metrics["val_stats"]["snr_10_cnt"] == 0.0
+
+
 def test_evaluate_embedding_similarity_buckets(setup):
     model, state, loader, config = setup
     sims = evaluate_embedding_similarity(model, state, loader, config)

@@ -195,3 +195,60 @@ def test_streaming_multiblock_path():
         err = np.abs(np.asarray(a) - np.asarray(b)).max() / \
             (np.abs(np.asarray(b)).max() + 1e-6)
         assert err < 5e-4, err
+
+
+def test_flash_tp_shard_map_parity():
+    """Flash under a registered TP mesh (shard_map over heads on 'model')
+    must match the unmapped kernel — forward AND gradients.  pallas_call is
+    not auto-partitioned by GSPMD, so this wrap is the only correct flash
+    behaviour when tpu.mesh model>1 (VERDICT r2 item 6)."""
+    from nrse_tpu.parallel.mesh import make_mesh, set_flash_tp_mesh
+
+    t, b4, h4 = 64, 4, 4
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b4, h4, t, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b4, h4, t, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b4, h4, t, D)).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2.5, (b4, h4, t)).astype(np.float32))
+    brel = jnp.asarray(rng.standard_normal((h4, 2 * t)).astype(np.float32))
+    mask = np.ones((b4, t), np.int32)
+    mask[1, t // 2:] = 0
+    jmask = jnp.asarray(mask)
+
+    def loss(q, k, v, gate, brel):
+        o = flash_gated_attention(q, k, v, gate, brel, jmask,
+                                  block_q=32, block_k=32)
+        return jnp.sum(o * jnp.cos(0.01 * jnp.arange(o.size).reshape(o.shape)))
+
+    ref_out = flash_gated_attention(q, k, v, gate, brel, jmask)
+    ref_g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, gate, brel)
+
+    mesh = make_mesh(data=2, model=4)
+    set_flash_tp_mesh(mesh)
+    try:
+        tp_out = flash_gated_attention(q, k, v, gate, brel, jmask)
+        tp_g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, gate, brel)
+    finally:
+        set_flash_tp_mesh(None)
+
+    np.testing.assert_allclose(np.asarray(tp_out), np.asarray(ref_out),
+                               atol=2e-5)
+    for name, a, b in zip(("dq", "dk", "dv", "dgate", "dbrel"), ref_g, tp_g):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(a)).max() + 1e-6)
+        assert err < 5e-4, f"{name}: rel err {err}"
+
+
+def test_flash_tp_indivisible_heads_raises():
+    """A clear error (not silent replication) when heads don't divide the
+    model axis."""
+    from nrse_tpu.parallel.mesh import make_mesh, set_flash_tp_mesh
+
+    (q, k, v, gate, brel), _ = make_inputs(64)  # H=3 heads
+    mesh = make_mesh(data=2, model=4)
+    set_flash_tp_mesh(mesh)
+    try:
+        with pytest.raises(ValueError, match="heads not divisible"):
+            flash_gated_attention(q, k, v, gate, brel, None)
+    finally:
+        set_flash_tp_mesh(None)

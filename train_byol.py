@@ -82,6 +82,12 @@ def main(argv=None):
     mesh = make_mesh(mesh_cfg.get("data", -1), mesh_cfg.get("model", 1))
     n_chips = len(jax.devices())
     logger.info(f"mesh: {mesh}; {n_chips} devices")
+    if config.get("tpu", {}).get("flash_attention", False):
+        # pallas_call is not auto-partitioned by GSPMD — the flash kernels
+        # shard_map over the registered mesh when model>1 (no-op otherwise)
+        from nrse_tpu.parallel.mesh import set_flash_tp_mesh
+
+        set_flash_tp_mesh(mesh)
 
     batch_size = config["training"]["batch_size"]
     data_axis = mesh.shape["data"]
@@ -169,7 +175,9 @@ def main(argv=None):
             totals = aggregate_sums(val_metrics["val_stats"])
             val_loss = totals["loss_sum"] / max(totals["loss_cnt"], 1.0)
             similarities = {}
-            for snr in val_metrics["val_similarities"]:
+            # iterate the config bins, not the local val_similarities keys —
+            # a bin empty on THIS process may be populated on another
+            for snr in config["data"]["snr_range"]:
                 cnt = totals[f"snr_{snr}_cnt"]
                 if cnt > 0:
                     similarities[snr] = totals[f"snr_{snr}_sum"] / cnt
