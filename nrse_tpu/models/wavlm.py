@@ -103,7 +103,12 @@ class WavLMConfig:
     #              custom VJP.  Measured SLOWER (375.4): the custom-call
     #              boundaries break XLA's conv→LN→gelu fusion, costing
     #              more than the LN reduce saves — a real Pallas win here
-    #              needs the whole conv+LN+gelu block in one kernel.
+    #              needs the whole conv+LN+gelu block in one kernel;
+    #   "fused"  — ops/fused_frontend.py: that one kernel.  conv (tap
+    #              matmuls on the MXU) + f32 channel-LN stats in registers
+    #              + exact-erf gelu, fwd+bwd custom VJP, for the
+    #              stride-2 k∈{2,3} C→C layers (1-6 of wavlm-large);
+    #              layer 0 and non-matching layers fall back to "xla".
     frontend_norm: str = "mxu"
     # gather the [H,T,T] position bias per layer from the [buckets,H] table
     # instead of broadcasting a precomputed tensor into the scan — the
@@ -179,6 +184,29 @@ class ConvFeatureEncoder(nn.Module):
         for i, (dim, k, s) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
         ):
+            if (cfg.frontend_norm == "fused"
+                    and cfg.feat_extract_norm == "layer"
+                    and s == 2 and k in (2, 3) and h.shape[-1] == dim):
+                # whole conv+LN+gelu block in ONE Pallas kernel (fwd+bwd);
+                # param tree identical to the nn.Conv/nn.LayerNorm layout
+                from nrse_tpu.ops.fused_frontend import (
+                    ConvParams,
+                    LNParams,
+                    fused_conv_ln_gelu,
+                )
+
+                kernel, cbias = ConvParams(
+                    dim, k, h.shape[-1], use_bias=cfg.conv_bias,
+                    param_dtype=cfg.param_dtype, name=f"conv_{i}",
+                )()
+                scale, lbias = LNParams(
+                    dim, param_dtype=cfg.param_dtype,
+                    name=f"layer_norm_{i}",
+                )()
+                h = fused_conv_ln_gelu(
+                    h, kernel, cbias, scale, lbias, cfg.layer_norm_eps
+                )
+                continue
             h = nn.Conv(
                 dim, (k,), strides=(s,), padding="VALID",
                 use_bias=cfg.conv_bias, dtype=cfg.dtype,

@@ -164,6 +164,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, win_ref, madd_ref,
         # hoisted Toeplitz shear: bias rows for this q-block over ALL keys
         bias_row = _shear_rows(win_ref[hi], bq)  # [BQ, BQ+T]; cols [0,T)
 
+        if nk == 1:
+            # single k-block (the 5 s workload, T≤512): plain softmax —
+            # no streaming rescale (alpha multiplies on the [BQ, D]
+            # accumulator and the running-max compare are pure overhead
+            # when every key is visible at once)
+            s = jax.lax.dot_general(
+                q, k_ref[hi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s += gate * bias_row[:, :block_k].astype(jnp.float32)
+            s += madd_ref[:, :].astype(jnp.float32)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l_safe = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+            acc = jax.lax.dot_general(
+                p.astype(mm), v_ref[hi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[hi] = (acc / l_safe).astype(o_ref.dtype)
+            lse_ref[hi] = (m + jnp.log(l_safe)).astype(jnp.float32)
+            continue
+
         m = jnp.full((bq, 1), NEG_INF, jnp.float32)
         l = jnp.zeros((bq, 1), jnp.float32)
         acc = jnp.zeros((bq, d), jnp.float32)
@@ -485,21 +507,358 @@ def _bwd_dkv(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
 
 
 # ---------------------------------------------------------------------------
+# streamed-K/V variants: the k-dimension lives IN the Pallas grid
+# ---------------------------------------------------------------------------
+#
+# The kernels above keep full [T, D] K/V/dO streams (and a [BQ, BQ+T]
+# sheared-bias temp) resident per grid step — past T≈4-6k that exceeds the
+# 16 MB VMEM scoped-allocation limit (round-2's 120 s failure,
+# docs/round2_status.md).  These variants make per-step VMEM
+# T-INDEPENDENT: K/V/dO arrive as [BK, D] blocks via BlockSpec, the online
+# softmax state (m/l/acc) persists in VMEM scratch across the sequential
+# k-axis grid steps, bias windows are per-(q-block, k-block) [BQ+BK]
+# vectors (sheared on-chip like before, but on O(BQ+BK) temps), and
+# dq/dgate/dk/dv accumulate directly in their output blocks, whose index
+# is constant along the innermost axis (one writeback per block).
+# Requires BQ == BK (the wrapper enforces it for multi-block T anyway).
+
+STREAM_THRESHOLD = 3072  # t_pad above this uses the streamed kernels
+
+
+def _qk_windows(bias_rel, t: int, bq: int, bk: int):
+    """[H, 2T] → [H, NQ, NK, 1, BQ+BK]: window (iq, ik) generates bias
+    block (q-rows [iq·BQ, …), k-cols [ik·BK, …)) under ``_shear_rows``:
+    ``win[h, iq, ik, 0, p] = bias_rel[h, t − (iq+1)·BQ + ik·BK + p]``."""
+    nq, nk = t // bq, t // bk
+    starts = (t - bq * (jnp.arange(nq, dtype=jnp.int32)[:, None] + 1)
+              + bk * jnp.arange(nk, dtype=jnp.int32)[None, :])
+    idx = starts[:, :, None] + jnp.arange(bq + bk, dtype=jnp.int32)
+    return jnp.take(bias_rel, idx, axis=1)[:, :, :, None, :]
+
+
+def _fold_qk_windows(dwin, t: int, bq: int):
+    """Adjoint of ``_qk_windows`` for BQ == BK: [H, NQ, NK, W] → [H, 2T].
+
+    Window (iq, ik) starts at ``t − BQ + (ik−iq)·BQ`` — constant along
+    diagonals — so the fold is one overlap-add per diagonal, not per pair.
+    """
+    h, nq, nk, w = dwin.shape
+    out = jnp.zeros((h, 2 * t), dwin.dtype)
+    for diag in range(-(nq - 1), nk):
+        parts = [dwin[:, iq, iq + diag, :] for iq in range(nq)
+                 if 0 <= iq + diag < nk]
+        acc = parts[0] if len(parts) == 1 else sum(parts)
+        start = t - bq + diag * bq
+        out = out.at[:, start:start + w].add(acc)
+    return out
+
+
+def _head_group_streamed(h: int) -> int:
+    """Per-step buffers are all O(BQ·D) — VMEM fits any group size."""
+    for g in (16, 8, 4, 2, 1):
+        if h % g == 0:
+            return g
+    return 1
+
+
+def _fwd_streamed_kernel(q_ref, k_ref, v_ref, gate_ref, win_ref, madd_ref,
+                         o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                         scale: float):
+    # q/o: [g, BQ, D]; k/v: [g, BK, D]; gate: [g, BQ, 1];
+    # win: [g, 1, BQ+BK]; madd: [1, BK]; scratch m/l: [g, BQ, 1] f32,
+    # acc: [g, BQ, D] f32 — persists across the innermost k grid axis
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    g, bq, d = q_ref.shape
+    bk = k_ref.shape[1]
+
+    @pl.when(ik == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    mm = q_ref.dtype
+    madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
+    for hi in range(g):
+        q = q_ref[hi]
+        gate = gate_ref[hi].astype(jnp.float32)
+        bias = _shear_rows(win_ref[hi], bq)[:, :bk].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_ref[hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s += gate * bias + madd
+
+        m_prev = m_scr[hi]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_scr[hi] = l_scr[hi] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[hi] = acc_scr[hi] * alpha + jax.lax.dot_general(
+            p.astype(mm), v_ref[hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[hi] = m_cur
+
+    @pl.when(ik == nk - 1)
+    def _():
+        for hi in range(g):
+            l_safe = jnp.maximum(l_scr[hi], 1e-30)
+            o_ref[hi] = (acc_scr[hi] / l_safe).astype(o_ref.dtype)
+            lse_ref[hi] = m_scr[hi] + jnp.log(l_safe)
+
+
+def _fwd_streamed(q, k, v, gate, bias_rel, mask_add, *, block_q: int,
+                  block_k: int, interpret: bool):
+    b, h, t, d = q.shape
+    assert block_q == block_k, "streamed path requires BQ == BK"
+    nq, nk = t // block_q, t // block_k
+    win = _qk_windows(bias_rel, t, block_q, block_k)
+    g = _head_group_streamed(h)
+    grid = (b, h // g, nq, nk)
+    qb = lambda b_, g_, i, j: (b_, g_, i, 0)  # noqa: E731
+    kb = lambda b_, g_, i, j: (b_, g_, j, 0)  # noqa: E731
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_streamed_kernel, scale=1.0 / (d ** 0.5)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, None, None, 1, block_q + block_k),
+                         lambda b_, g_, i, j: (g_, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k),
+                         lambda b_, g_, i, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, block_q, 1), jnp.float32),
+            pltpu.VMEM((g, block_q, 1), jnp.float32),
+            pltpu.VMEM((g, block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, gate, win, mask_add)
+    return out, lse
+
+
+def _bwd_dq_streamed_kernel(q_ref, k_ref, gate_ref, win_ref, madd_ref,
+                            do_ref, v_ref, lse_ref, delta_ref,
+                            dq_ref, dgate_ref, dwin_ref, *, scale: float):
+    # grid (head-groups, q-blocks, batch, k-blocks) — innermost k keeps
+    # the dq/dgate out-block index constant (accumulate in place, one
+    # writeback); the dwin block (g, 1, BQ+BK) revisits across batch
+    # steps via evict/refetch (tiny).
+    ib = pl.program_id(2)
+    ik = pl.program_id(3)
+    g, bq, d = q_ref.shape
+    bk = k_ref.shape[1]
+
+    @pl.when(ik == 0)
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+        dgate_ref[:] = jnp.zeros_like(dgate_ref)
+
+    @pl.when(ib == 0)
+    def _():
+        dwin_ref[:] = jnp.zeros_like(dwin_ref)
+
+    mm = q_ref.dtype
+    madd = madd_ref[:].astype(jnp.float32)
+    for hi in range(g):
+        q = q_ref[hi]
+        gate = gate_ref[hi].astype(jnp.float32)
+        lse = lse_ref[hi].astype(jnp.float32)
+        delta = delta_ref[hi].astype(jnp.float32)
+        do = do_ref[hi]
+        k = k_ref[hi]
+        bias = _shear_rows(win_ref[hi], bq)[:, :bk].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s += gate * bias + madd
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_ref[hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_ref[hi] += jax.lax.dot_general(
+            ds.astype(mm), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dgate_ref[hi] += jnp.sum(ds * bias, axis=1, keepdims=True)
+        dwin_ref[hi] += _shear_rows_adjoint(gate * ds, bq + bk)
+
+
+def _bwd_dq_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
+                     block_q: int, block_k: int, interpret: bool):
+    b, h, t, d = q.shape
+    assert block_q == block_k
+    nq, nk = t // block_q, t // block_k
+    win = _qk_windows(bias_rel, t, block_q, block_k)
+    g = _head_group_streamed(h)
+    grid = (h // g, nq, b, nk)
+    qb = lambda g_, i, b_, j: (b_, g_, i, 0)  # noqa: E731
+    kb = lambda g_, i, b_, j: (b_, g_, j, 0)  # noqa: E731
+    wb = lambda g_, i, b_, j: (g_, i, j, 0, 0)  # noqa: E731
+    dq, dgate, dwin = pl.pallas_call(
+        functools.partial(_bwd_dq_streamed_kernel, scale=1.0 / (d ** 0.5)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, None, None, 1, block_q + block_k), wb,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k),
+                         lambda g_, i, b_, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, None, None, 1, block_q + block_k), wb,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((h, nq, nk, 1, block_q + block_k),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, gate, win, mask_add, do, v, lse, delta)
+    dbrel = _fold_qk_windows(dwin[:, :, :, 0, :], t, block_q)
+    return dq, dgate, dbrel
+
+
+def _bwd_dkv_streamed_kernel(q_ref, k_ref, v_ref, gate_ref, win_ref,
+                             madd_ref, do_ref, lse_ref, delta_ref,
+                             dk_ref, dv_ref, *, scale: float):
+    # grid (batch, head-groups, k-blocks, q-blocks) — innermost q keeps
+    # the dk/dv out-block index constant (accumulate in place)
+    iq = pl.program_id(3)
+    g, bk, d = k_ref.shape
+    bq = q_ref.shape[1]
+
+    @pl.when(iq == 0)
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    mm = q_ref.dtype
+    madd = madd_ref[:].astype(jnp.float32)  # [1, BK]
+    for hi in range(g):
+        k = k_ref[hi]
+        v = v_ref[hi]
+        q = q_ref[hi]
+        gate = gate_ref[hi].astype(jnp.float32)
+        lse = lse_ref[hi].astype(jnp.float32)
+        delta = delta_ref[hi].astype(jnp.float32)
+        do = do_ref[hi]
+        bias = _shear_rows(win_ref[hi], bq)[:, :bk].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s += gate * bias + madd
+        p = jnp.exp(s - lse)
+        dv_ref[hi] += jax.lax.dot_general(
+            p.astype(mm), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk_ref[hi] += jax.lax.dot_general(
+            ds.astype(mm), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+
+def _bwd_dkv_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
+                      block_q: int, block_k: int, interpret: bool):
+    b, h, t, d = q.shape
+    assert block_q == block_k
+    nq, nk = t // block_q, t // block_k
+    win = _qk_windows(bias_rel, t, block_q, block_k)
+    g = _head_group_streamed(h)
+    grid = (b, h // g, nk, nq)
+    qb = lambda b_, g_, j, i: (b_, g_, i, 0)  # noqa: E731
+    kb = lambda b_, g_, j, i: (b_, g_, j, 0)  # noqa: E731
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_streamed_kernel, scale=1.0 / (d ** 0.5)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, None, None, 1, block_q + block_k),
+                         lambda b_, g_, j, i: (g_, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k),
+                         lambda b_, g_, j, i: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, gate, win, mask_add, do, lse, delta)
+    return dk, dv
+
+
+# ---------------------------------------------------------------------------
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
+def _streamed(t: int) -> bool:
+    return t > STREAM_THRESHOLD
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _flash_core(q, k, v, gate, bias_rel, mask_add, block_q, block_k):
-    out, _ = _fwd(q, k, v, gate, bias_rel, mask_add,
-                  block_q=block_q, block_k=block_k,
-                  interpret=_interpret())
+    fwd = _fwd_streamed if _streamed(q.shape[2]) else _fwd
+    out, _ = fwd(q, k, v, gate, bias_rel, mask_add,
+                 block_q=block_q, block_k=block_k,
+                 interpret=_interpret())
     return out
 
 
 def _flash_core_fwd(q, k, v, gate, bias_rel, mask_add, block_q, block_k):
-    out, lse = _fwd(q, k, v, gate, bias_rel, mask_add,
-                    block_q=block_q, block_k=block_k,
-                    interpret=_interpret())
+    fwd = _fwd_streamed if _streamed(q.shape[2]) else _fwd
+    out, lse = fwd(q, k, v, gate, bias_rel, mask_add,
+                   block_q=block_q, block_k=block_k,
+                   interpret=_interpret())
     return out, (q, k, v, gate, bias_rel, mask_add, out, lse)
 
 
@@ -508,11 +867,14 @@ def _flash_core_bwd(block_q, block_k, res, g):
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)  # [B,H,T,1]
     interp = _interpret()
-    dq, dgate, dbrel = _bwd_dq(
+    streamed = _streamed(q.shape[2])
+    bwd_dq = _bwd_dq_streamed if streamed else _bwd_dq
+    bwd_dkv = _bwd_dkv_streamed if streamed else _bwd_dkv
+    dq, dgate, dbrel = bwd_dq(
         q, k, v, gate, bias_rel, mask_add, g, lse, delta,
         block_q=block_q, block_k=block_k, interpret=interp,
     )
-    dk, dv = _bwd_dkv(
+    dk, dv = bwd_dkv(
         q, k, v, gate, bias_rel, mask_add, g, lse, delta,
         block_q=block_q, block_k=block_k, interpret=interp,
     )

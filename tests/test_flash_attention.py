@@ -252,3 +252,43 @@ def test_flash_tp_indivisible_heads_raises():
             flash_gated_attention(q, k, v, gate, brel, None)
     finally:
         set_flash_tp_mesh(None)
+
+
+def test_streamed_kv_path_matches_reference(monkeypatch):
+    """The streamed-K/V kernels (k-dimension in the Pallas grid, scratch
+    online-softmax state, per-(q,k)-block bias windows) must match the XLA
+    reference exactly like the resident-K/V kernels.  They unlock T beyond
+    the 16 MB scoped-VMEM wall (~T≈6k) where the resident kernels die;
+    forced on here at small T via the threshold."""
+    import nrse_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_THRESHOLD", 256)
+    t = 640
+    (q, k, v, gate, bias_rel), mask = make_inputs(t, seed=9, masked=True)
+    jmask = jnp.asarray(mask)
+    dense = dense_bias_from_rel(bias_rel, t)
+    ref = gated_bias_attention(q, k, v, gate, dense, jmask)
+    ours = fa.flash_gated_attention(q, k, v, gate, bias_rel, jmask,
+                                    block_q=128, block_k=128)
+    err = np.abs(np.asarray(ours) - np.asarray(ref)).max()
+    assert err < 3e-5, err
+
+    def loss_ref(q, k, v, gate, brel):
+        o = gated_bias_attention(q, k, v, gate,
+                                 dense_bias_from_rel(brel, t), jmask)
+        return jnp.sum(o * 0.001 * jnp.arange(o.size).reshape(o.shape))
+
+    def loss_ours(q, k, v, gate, brel):
+        o = fa.flash_gated_attention(q, k, v, gate, brel, jmask,
+                                     block_q=128, block_k=128)
+        return jnp.sum(o * 0.001 * jnp.arange(o.size).reshape(o.shape))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        q, k, v, gate, bias_rel)
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2, 3, 4))(
+        q, k, v, gate, bias_rel)
+    for name, a, b in zip(("dq", "dk", "dv", "dgate", "dbrel"),
+                          g_ref, g_ours):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+        assert err < 5e-4, f"{name}: rel err {err}"

@@ -223,11 +223,12 @@ def test_remat_policy_equivalence(tiny_pair, remat):
                                    atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["mxu", "pallas"])
+@pytest.mark.parametrize("impl", ["mxu", "pallas", "fused"])
 def test_frontend_norm_variants_match_flax(impl):
-    """The MXU / Pallas channel-LN variants must reproduce nn.LayerNorm
-    (forward AND gradients) — they are interchangeable implementations of
-    the conv-frontend norm, selected by WavLMConfig.frontend_norm."""
+    """The MXU / Pallas channel-LN variants — and the fully-fused
+    conv+LN+gelu Pallas frontend ("fused") — must reproduce the flax path
+    (forward AND gradients); they are interchangeable implementations
+    selected by WavLMConfig.frontend_norm, sharing one param layout."""
     import dataclasses
 
     from flax import linen as fnn

@@ -1,0 +1,297 @@
+"""BYOL→SER transfer evidence: the reference's HEADLINE claim, end to end.
+
+The reference's whole point (dev.ipynb cell 52) is that BYOL pretraining
+(a) lifts downstream SER macro-F1 and (b) flattens the clean→snr4
+degradation.  Real MSP-Podcast/AudioSet data is environment-blocked, so this
+run reproduces the *full pipeline* on the synthetic regime corpus
+(``nrse_tpu/data/synthetic.py``) on the real chip:
+
+  1. BYOL pretrain ``train_byol.main`` on the Train-split audio
+     (clean vs SNR-mixed views, WavLM-large, fused TPU step);
+  2. SER phase-1 (frozen encoder) through the real trainers — once with the
+     BYOL encoder (``emotion.encoder_checkpoint``), once with a random-init
+     control — categorical (macro-F1) and dimensional (CCC);
+  3. ``evaluate_emotion.evaluate`` readout per model: clean, snr8, snr4
+     (eval noise drawn from a *held-out* noise seed, never seen in
+     pretraining);
+  4. a committed ``docs/transfer_evidence/`` table mirroring the
+     reference's results table.
+
+Usage:
+    python tools/transfer_report.py [--train 4800] [--dev 960] \
+        [--byol-epochs 10] [--ser-epochs 8] [--out docs/transfer_evidence]
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PRESETS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "nrse_tpu", "config", "presets",
+)
+
+
+def _load_preset(name):
+    import yaml
+
+    with open(os.path.join(PRESETS, name)) as f:
+        return yaml.safe_load(f)
+
+
+def _symlink_split(audio_dir: str, out_dir: str, prefix: str) -> str:
+    """Directory of symlinks to one split's WAVs (BYOL must pretrain on the
+    Train split only — no self-supervision on eval audio)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(audio_dir)):
+        if name.startswith(prefix):
+            dst = os.path.join(out_dir, name)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(audio_dir, name), dst)
+            n += 1
+    assert n, f"no {prefix}* files under {audio_dir}"
+    return out_dir
+
+
+def run_byol(clean_dir, noise_dir, ckpt_dir, epochs, batch, smoke=False):
+    import yaml
+
+    config = _load_preset("default_wavlm-large_byol.yaml")
+    config["training"].update({
+        "batch_size": batch, "num_epochs": epochs,
+        "checkpoint_dir": ckpt_dir, "log_dir": "/tmp/nrse_transfer_logs",
+        "save_checkpoints": True,
+        "early_stopping_patience": epochs,
+    })
+    config["data"].update({
+        "clean_data_path": clean_dir, "noise_data_path": noise_dir,
+    })
+    if smoke:
+        config["model"]["name"] = "wavlm-tiny"
+        config["model"].update({"projection_dim": 32, "prediction_dim": 64})
+        config["data"]["max_audio_length"] = 1.0
+        config["device"] = "cpu"
+        config["tpu"] = {"compute_dtype": "float32", "rng_impl": "threefry2x32",
+                         "mesh": {"data": 1, "model": 1}}
+    config["logging"].update({
+        "wandb_mode": "disabled", "console_level": "WARNING",
+        "visualization_interval": epochs + 1,  # skip t-SNE (separate artifact)
+    })
+    cfg_path = "/tmp/nrse_transfer_byol.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    import train_byol
+
+    train_byol.main(["--config", cfg_path])
+    best = os.path.join(ckpt_dir, "best_val_loss")
+    assert os.path.isdir(best), f"BYOL produced no checkpoint at {best}"
+    return best
+
+
+def ser_config(preset, labels_csv, audio_dir, noise_dir, encoder_ckpt,
+               ckpt_dir, epochs, batch, lr, categorical, smoke=False):
+    config = _load_preset(preset)
+    config["training"]["log_dir"] = "/tmp/nrse_transfer_logs"
+    config["logging"].update({"wandb_mode": "disabled",
+                              "console_level": "WARNING"})
+    config["data"]["noise_data_path"] = noise_dir
+    if smoke:
+        config["model"]["name"] = "wavlm-tiny"
+        config["model"].update({"projection_dim": 32, "prediction_dim": 64})
+        config["data"]["max_audio_length"] = 1.0
+        config["device"] = "cpu"
+        config["emotion"]["hidden_dim"] = 32
+        config["tpu"] = {"compute_dtype": "float32",
+                         "mesh": {"data": 1, "model": 1}}
+    config["emotion"].update({
+        "encoder_checkpoint": encoder_ckpt,
+        "checkpoint_dir": ckpt_dir,
+        "labels_file": labels_csv,
+        "audio_dir": audio_dir,
+        "train_dataset_split": "Train",
+        "validataion_dataset_split": "Development",
+        "batch_size": batch,
+        "classifier_epochs": epochs,
+        "unfreeze_encoder": False,          # frozen-encoder transfer readout
+        "add_noise_during_training": False,  # train clean; eval clean/noisy
+        "categorical_only": categorical,
+        "learning_rate": lr,
+    })
+    return config
+
+
+def robustness_readout(config, ckpt_path, task, eval_noise_dir):
+    """clean / snr8 / snr4 metrics via evaluate_emotion.evaluate."""
+    import evaluate_emotion
+
+    out = {}
+    for snr in (8, 4):
+        cfg = copy.deepcopy(config)
+        cfg["data"]["noise_data_path"] = eval_noise_dir
+        cfg["data"]["snr_range"] = [snr]
+        report = evaluate_emotion.evaluate(cfg, ckpt_path, task)
+        out.setdefault("clean", report["clean"])
+        out[f"snr{snr}"] = report["noisy"]
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train", type=int, default=4800)
+    p.add_argument("--dev", type=int, default=960)
+    p.add_argument("--byol-epochs", type=int, default=10)
+    p.add_argument("--byol-batch", type=int, default=36)
+    p.add_argument("--ser-epochs", type=int, default=8)
+    p.add_argument("--ser-batch", type=int, default=16)
+    p.add_argument("--ser-lr", type=float, default=1e-3)
+    p.add_argument("--skip-dimensional", action="store_true")
+    p.add_argument("--reuse", action="store_true",
+                   help="reuse existing BYOL checkpoint / SER checkpoints")
+    p.add_argument("--out", default="docs/transfer_evidence")
+    p.add_argument("--corpus", default="/tmp/nrse_transfer")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny-encoder CPU pipeline check (no quality claim)")
+    args = p.parse_args()
+
+    if args.smoke:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.train, args.dev = 48, 16
+        args.byol_epochs, args.ser_epochs = 1, 1
+        args.byol_batch = args.ser_batch = 4
+        args.corpus = "/tmp/nrse_transfer_smoke"
+        if args.out == "docs/transfer_evidence":
+            args.out = "/tmp/nrse_transfer_smoke/out"
+
+    from nrse_tpu.data.synthetic import generate_corpus, generate_emotion_corpus
+
+    seconds = 1.0 if args.smoke else 5.0
+    audio_dir, labels_csv = generate_emotion_corpus(
+        os.path.join(args.corpus, "emotion"), args.train, args.dev,
+        seconds=seconds,
+    )
+    # pretraining noise (seed 0) and HELD-OUT eval noise (seed 1)
+    _, noise_train = generate_corpus(
+        os.path.join(args.corpus, "noise_train"), 0,
+        60 if args.smoke else 600, seconds=seconds, seed=0)
+    _, noise_eval = generate_corpus(
+        os.path.join(args.corpus, "noise_eval"), 0,
+        30 if args.smoke else 300, seconds=seconds, seed=1)
+    byol_clean = _symlink_split(
+        audio_dir, os.path.join(args.corpus, "byol_clean"), "MSP-SYN_Tr_")
+
+    # ---- stage 1: BYOL pretraining on the Train split ----
+    byol_ckpt_dir = os.path.join(args.corpus, "byol_ckpt")
+    byol_best = os.path.join(byol_ckpt_dir, "best_val_loss")
+    if not (args.reuse and os.path.isdir(byol_best)):
+        byol_best = run_byol(byol_clean, noise_train, byol_ckpt_dir,
+                             args.byol_epochs, args.byol_batch,
+                             smoke=args.smoke)
+    print(f"# transfer: BYOL checkpoint at {byol_best}", flush=True)
+
+    results = {}
+    tasks = [("categorical", "dev_wavlm-large_emotion_cat.yaml", True,
+              "train_categorical_emotions", "nrse_tpu.train.categorical_emotions")]
+    if not args.skip_dimensional:
+        tasks.append(("dimensional", "dev_wavlm-large_emotion_dim.yaml", False,
+                      "train_dimensional_emotions",
+                      "nrse_tpu.train.dimentional_emotions"))
+
+    for task, preset, cat_only, fn_name, mod_name in tasks:
+        for variant, enc in (("byol", byol_best), ("random", None)):
+            ckpt_dir = os.path.join(args.corpus, f"ser_{task}_{variant}")
+            config = ser_config(
+                preset, labels_csv, audio_dir, noise_train, enc, ckpt_dir,
+                args.ser_epochs, args.ser_batch, args.ser_lr, cat_only,
+                smoke=args.smoke,
+            )
+            best = os.path.join(ckpt_dir, "best_classifier_model")
+            if not (args.reuse and os.path.isdir(best)):
+                import importlib
+
+                trainer = getattr(importlib.import_module(mod_name), fn_name)
+                print(f"# transfer: training {task}/{variant}", flush=True)
+                trainer(config)
+            print(f"# transfer: readout {task}/{variant}", flush=True)
+            results[f"{task}_{variant}"] = robustness_readout(
+                config, best, task, noise_eval
+            )
+            print(json.dumps({f"{task}_{variant}":
+                              results[f"{task}_{variant}"]}), flush=True)
+
+    # ---- artifact ----
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+    def row(name, res, metric):
+        c, s8, s4 = (res["clean"][metric], res["snr8"][metric],
+                     res["snr4"][metric])
+        return (f"| {name} | {c:.3f} | {s8:.3f} | {s4:.3f} | "
+                f"{s4 - c:+.3f} |")
+
+    lines = [
+        "# BYOL→SER transfer evidence (synthetic regime corpus, real TPU)",
+        "",
+        f"Generated by `python tools/transfer_report.py --train {args.train} "
+        f"--dev {args.dev} --byol-epochs {args.byol_epochs} "
+        f"--ser-epochs {args.ser_epochs}`.",
+        "",
+        "The reference's headline result (dev.ipynb cell 52) is that BYOL",
+        "pretraining lifts SER macro-F1 and flattens the clean→snr4",
+        "degradation.  MSP-Podcast/AudioSet are environment-blocked, so this",
+        "runs the IDENTICAL pipeline on the 8-regime synthetic emotion",
+        "corpus: `train_byol.main` (WavLM-large, clean-vs-noisy BYOL views)",
+        "on the Train split → frozen-encoder SER phase-1 via the real",
+        "trainers → `evaluate_emotion` readout on clean / snr8 / snr4",
+        "Development audio, with eval noise from a held-out seed.  The",
+        "control is the same pipeline from a random-init encoder.",
+        "",
+        "## Categorical SER (macro-F1)",
+        "",
+        "| encoder (frozen) | clean | snr8 | snr4 | Δ(clean→snr4) |",
+        "|---|---|---|---|---|",
+        row("BYOL-pretrained", results["categorical_byol"], "macro_f1"),
+        row("random-init", results["categorical_random"], "macro_f1"),
+        "",
+        "| encoder (frozen) | accuracy clean | snr8 | snr4 | Δ |",
+        "|---|---|---|---|---|",
+        row("BYOL-pretrained", results["categorical_byol"], "accuracy"),
+        row("random-init", results["categorical_random"], "accuracy"),
+    ]
+    if "dimensional_byol" in results:
+        lines += ["", "## Dimensional SER (CCC)", ""]
+        for dim in ("arousal", "valence", "dominance"):
+            lines += [
+                f"| encoder (frozen) | CCC {dim} clean | snr8 | snr4 | Δ |",
+                "|---|---|---|---|---|",
+                row("BYOL-pretrained", results["dimensional_byol"],
+                    f"ccc_{dim}"),
+                row("random-init", results["dimensional_random"],
+                    f"ccc_{dim}"),
+                "",
+            ]
+    lines += [
+        "",
+        "Reference numbers being mirrored (real MSP-Podcast, dev.ipynb cell",
+        "52): WavLM+BYOL e2e macro-F1 0.260/0.253/0.249 (clean/snr8/snr4)",
+        "vs no-BYOL 0.233/0.235/0.223 — the claim is the *delta pattern*,",
+        "which the table above measures on the synthetic corpus.",
+    ]
+    with open(os.path.join(args.out, "README.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"artifact": args.out}))
+
+
+if __name__ == "__main__":
+    main()
