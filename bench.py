@@ -41,8 +41,11 @@ def run_flash_check():
     from nrse_tpu.ops.rel_pos_bias import dense_bias_from_rel
 
     results = {}
-    for t in (250, 1024):
-        b, h, d = 2, 16, 64
+    # 250: single-block fast path; 1024: resident-K/V streaming; 4096:
+    # streamed-K/V kernels (k-dim in the grid — T > STREAM_THRESHOLD).
+    # The 4096 reference must materialise [H, T, T] f32, so it runs small.
+    for t, (b, h) in ((250, (2, 16)), (1024, (2, 16)), (4096, (1, 2))):
+        d = 64
         rng = np.random.default_rng(t)
         q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)),
                                jnp.bfloat16) for _ in range(3))
@@ -52,7 +55,7 @@ def run_flash_check():
         # is strictest, so the parity check must exercise them
         brel = jnp.asarray(0.5 * rng.standard_normal((h, 2 * t)),
                            jnp.bfloat16)
-        lengths = np.asarray([t, t - t // 4])[:, None]
+        lengths = np.asarray([t, t - t // 4][:b])[:, None]
         mask = jnp.asarray(
             (np.arange(t)[None, :] < lengths).astype(np.int32)
         ) if t > 250 else None

@@ -654,13 +654,20 @@ def _fwd_streamed(q, k, v, gate, bias_rel, mask_add, *, block_q: int,
 
 def _bwd_dq_streamed_kernel(q_ref, k_ref, gate_ref, win_ref, madd_ref,
                             do_ref, v_ref, lse_ref, delta_ref,
-                            dq_ref, dgate_ref, dwin_ref, *, scale: float):
+                            dq_ref, dgate_ref, dwin_ref, dwin_scr, *,
+                            scale: float):
     # grid (head-groups, q-blocks, batch, k-blocks) — innermost k keeps
     # the dq/dgate out-block index constant (accumulate in place, one
-    # writeback); the dwin block (g, 1, BQ+BK) revisits across batch
-    # steps via evict/refetch (tiny).
+    # writeback).  dwin accumulates in a [g, NK, W] VMEM scratch across
+    # the whole (batch, k) sweep of each (head-group, q-block) — output
+    # blocks may only be revisited on CONSECUTIVE grid steps, and the
+    # per-ik dwin rows interleave across batch.  The per-step row update
+    # is a one-hot select (no dynamic ref indexing), flushed to the
+    # output block once at the sweep's final step.
     ib = pl.program_id(2)
     ik = pl.program_id(3)
+    nb = pl.num_programs(2)
+    nk = pl.num_programs(3)
     g, bq, d = q_ref.shape
     bk = k_ref.shape[1]
 
@@ -669,12 +676,13 @@ def _bwd_dq_streamed_kernel(q_ref, k_ref, gate_ref, win_ref, madd_ref,
         dq_ref[:] = jnp.zeros_like(dq_ref)
         dgate_ref[:] = jnp.zeros_like(dgate_ref)
 
-    @pl.when(ib == 0)
+    @pl.when(jnp.logical_and(ib == 0, ik == 0))
     def _():
-        dwin_ref[:] = jnp.zeros_like(dwin_ref)
+        dwin_scr[:] = jnp.zeros_like(dwin_scr)
 
     mm = q_ref.dtype
     madd = madd_ref[:].astype(jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nk, bq + bk), 0)
     for hi in range(g):
         q = q_ref[hi]
         gate = gate_ref[hi].astype(jnp.float32)
@@ -700,7 +708,12 @@ def _bwd_dq_streamed_kernel(q_ref, k_ref, gate_ref, win_ref, madd_ref,
             preferred_element_type=jnp.float32,
         ) * scale
         dgate_ref[hi] += jnp.sum(ds * bias, axis=1, keepdims=True)
-        dwin_ref[hi] += _shear_rows_adjoint(gate * ds, bq + bk)
+        dvec = _shear_rows_adjoint(gate * ds, bq + bk)  # [1, W]
+        dwin_scr[hi] += jnp.where(row_ids == ik, dvec, 0.0)
+
+    @pl.when(jnp.logical_and(ib == nb - 1, ik == nk - 1))
+    def _():
+        dwin_ref[:] = dwin_scr[:][:, :, None, :]
 
 
 def _bwd_dq_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
@@ -713,7 +726,6 @@ def _bwd_dq_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
     grid = (h // g, nq, b, nk)
     qb = lambda g_, i, b_, j: (b_, g_, i, 0)  # noqa: E731
     kb = lambda g_, i, b_, j: (b_, g_, j, 0)  # noqa: E731
-    wb = lambda g_, i, b_, j: (g_, i, j, 0, 0)  # noqa: E731
     dq, dgate, dwin = pl.pallas_call(
         functools.partial(_bwd_dq_streamed_kernel, scale=1.0 / (d ** 0.5)),
         grid=grid,
@@ -721,7 +733,8 @@ def _bwd_dq_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, block_k, d), kb, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, None, None, 1, block_q + block_k), wb,
+            pl.BlockSpec((g, None, None, 1, block_q + block_k),
+                         lambda g_, i, b_, j: (g_, i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_k),
                          lambda g_, i, b_, j: (b_, 0, j),
@@ -734,7 +747,11 @@ def _bwd_dq_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
         out_specs=[
             pl.BlockSpec((None, g, block_q, d), qb, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, g, block_q, 1), qb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, None, None, 1, block_q + block_k), wb,
+            # one [g, NK, 1, W] block per (head-group, q-block): index
+            # constant across the (batch, k) sweep, written once at its
+            # final step from the scratch accumulator
+            pl.BlockSpec((g, None, nk, 1, block_q + block_k),
+                         lambda g_, i, b_, j: (g_, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -742,6 +759,9 @@ def _bwd_dq_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
             jax.ShapeDtypeStruct((h, nq, nk, 1, block_q + block_k),
                                  jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, nk, block_q + block_k), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, gate, win, mask_add, do, v, lse, delta)
