@@ -112,18 +112,27 @@ def generate_corpus(root: str, n_clean: int, n_noise: int,
     os.makedirs(noise_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
+    # Resume support for large (100k+ file) corpora: an interrupted run
+    # leaves files behind; regenerate only the missing ones.  Skipped files
+    # do not consume RNG draws, so a resumed run's remaining files differ
+    # from a from-scratch run — fine for a throughput corpus, documented
+    # here so nobody expects bitwise-identical trees.
     for i in range(n_clean):
-        dur = seconds * float(
-            rng.uniform(1.0 - duration_jitter, 1.0 + duration_jitter)
-        )
-        save_wav(os.path.join(clean_dir, f"speech_{i:06d}.wav"),
-                 synth_speech_like(rng, dur, sample_rate), sample_rate)
+        path = os.path.join(clean_dir, f"speech_{i:06d}.wav")
+        if not (os.path.exists(path) and os.path.getsize(path) > 1024):
+            dur = seconds * float(
+                rng.uniform(1.0 - duration_jitter, 1.0 + duration_jitter)
+            )
+            save_wav(path, synth_speech_like(rng, dur, sample_rate),
+                     sample_rate)
         if verbose and (i + 1) % 1000 == 0:
             print(f"# corpus: {i + 1}/{n_clean} clean "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
     for i in range(n_noise):
-        save_wav(os.path.join(noise_dir, f"noise_{i:06d}.wav"),
-                 synth_noise(rng, seconds, sample_rate), sample_rate)
+        path = os.path.join(noise_dir, f"noise_{i:06d}.wav")
+        if not (os.path.exists(path) and os.path.getsize(path) > 1024):
+            save_wav(path, synth_noise(rng, seconds, sample_rate),
+                     sample_rate)
     with open(marker, "w") as f:
         f.write(f"{n_clean} {n_noise} {seconds}\n")
     if verbose:

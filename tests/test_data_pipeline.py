@@ -120,6 +120,33 @@ def test_loader_uses_fast_path(dataset):
     assert set(batch) == {"clean", "noise", "snr", "__count__"}
 
 
+def test_synthetic_corpus_resumes_after_interrupt(tmp_path):
+    """An interrupted generate_corpus run (no .complete marker, files
+    partially written) must regenerate only the missing/truncated files —
+    large (100k+) bench corpora cannot afford a from-scratch restart."""
+    import os
+
+    from nrse_tpu.data.synthetic import generate_corpus
+
+    root = str(tmp_path / "corpus")
+    clean_dir, noise_dir = generate_corpus(root, 6, 3, seconds=0.3,
+                                           verbose=False)
+    # simulate an interrupt: drop the marker, delete one file, truncate one
+    os.remove(os.path.join(root, ".complete"))
+    os.remove(os.path.join(clean_dir, "speech_000004.wav"))
+    kept = os.path.join(clean_dir, "speech_000001.wav")
+    kept_mtime = os.path.getmtime(kept)
+    with open(os.path.join(clean_dir, "speech_000005.wav"), "wb") as f:
+        f.write(b"RIFF")  # truncated (< 1 KiB) ⇒ must be rewritten
+    generate_corpus(root, 6, 3, seconds=0.3, verbose=False)
+    assert os.path.exists(os.path.join(root, ".complete"))
+    names = sorted(os.listdir(clean_dir))
+    assert names == [f"speech_{i:06d}.wav" for i in range(6)]
+    assert os.path.getsize(os.path.join(clean_dir, "speech_000005.wav")) > 1024
+    # untouched files are skipped, not rewritten
+    assert os.path.getmtime(kept) == kept_mtime
+
+
 def test_synthetic_emotion_corpus_roundtrip(tmp_path):
     """generate_emotion_corpus writes the MSP-Podcast v1.11 schema the
     emotion pipeline consumes: EmotionDataset must parse the CSV, find the
