@@ -89,6 +89,102 @@ def run_flash_check():
     return results
 
 
+def run_ffn_check():
+    """On-device fused-FFN parity (NRSE_BENCH_CHECK_ONLY=1).
+
+    CPU tests cover the masked variant only (the interpreter stubs the
+    TPU PRNG); this closes the loop Mosaic-compiled, at WavLM-large FFN
+    shapes: (a) deterministic fused vs jnp oracle, fwd+grads; (b) RNG
+    variant vs the masked variant fed ``dump_masks`` output — proving
+    the in-kernel bitstreams are reproduced bit-exactly across the fwd
+    and both bwd kernels; (c) keep-rate statistics of the hardware-PRNG
+    masks.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.ops.fused_ffn import dump_masks, fused_ffn, fused_ffn_masked
+
+    c, f, n = 1024, 4096, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, c)), jnp.bfloat16)
+    w1 = jnp.asarray(0.05 * rng.standard_normal((c, f)), jnp.float32)
+    b1 = jnp.asarray(0.05 * rng.standard_normal((f,)), jnp.float32)
+    w2 = jnp.asarray(0.05 * rng.standard_normal((f, c)), jnp.float32)
+    b2 = jnp.asarray(0.05 * rng.standard_normal((c,)), jnp.float32)
+    results = {}
+
+    def ref(x, w1, b1, w2, b2, ma=None, mh=None):
+        h = jnp.dot(x, w1.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        h = h + b1.astype(jnp.float32)
+        g = 0.5 * h * (1.0 + jax.lax.erf(h / np.sqrt(2.0)))
+        if ma is not None:
+            g = g * ma
+        o = jnp.dot(g.astype(x.dtype), w2.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        o = o + b2.astype(jnp.float32)
+        if mh is not None:
+            o = o * mh
+        return o.astype(x.dtype)
+
+    def rel(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-3))
+
+    def compare(loss_a, loss_b, label, tol):
+        va, ga = jax.jit(jax.value_and_grad(loss_a, argnums=(0, 1, 3)))(
+            x, w1, b1, w2, b2)
+        vb, gb = jax.jit(jax.value_and_grad(loss_b, argnums=(0, 1, 3)))(
+            x, w1, b1, w2, b2)
+        errs = [abs(float(va) - float(vb)) / abs(float(vb))]
+        errs += [rel(a, b) for a, b in zip(ga, gb)]
+        worst = max(errs)
+        results[label] = worst
+        assert worst < tol, f"fused-FFN {label} FAILED on TPU: {worst}"
+        print(f"# check: fused-FFN {label} max rel err {worst:.2e} OK",
+              file=sys.stderr, flush=True)
+
+    zero_seed = jnp.zeros((2,), jnp.uint32)
+    compare(
+        lambda *a: jnp.mean(fused_ffn(*a, zero_seed, 0.0, 0.0)
+                            .astype(jnp.float32) ** 2),
+        lambda *a: jnp.mean(ref(*a).astype(jnp.float32) ** 2),
+        "deterministic-vs-oracle", 2e-2,
+    )
+
+    p_act, p_hid = 0.1, 0.1
+    seed = jnp.asarray([0x1234, 0xABCD], jnp.uint32)
+    ma, mh = jax.jit(dump_masks, static_argnums=(1, 2, 3, 4, 5))(
+        seed, n, c, f, p_act, p_hid)
+    keep_a = float(jnp.mean(ma > 0))
+    keep_h = float(jnp.mean(mh > 0))
+    results["keep_rate_err"] = max(abs(keep_a - (1 - p_act)),
+                                   abs(keep_h - (1 - p_hid)))
+    assert results["keep_rate_err"] < 0.01, (
+        f"hardware-PRNG keep rates off: {keep_a}, {keep_h}")
+    print(f"# check: fused-FFN keep rates {keep_a:.4f}/{keep_h:.4f} "
+          f"(target {1-p_act}) OK", file=sys.stderr, flush=True)
+
+    compare(
+        lambda *a: jnp.mean(fused_ffn(*a, seed, p_act, p_hid)
+                            .astype(jnp.float32) ** 2),
+        lambda *a: jnp.mean(fused_ffn_masked(*a, ma, mh)
+                            .astype(jnp.float32) ** 2),
+        "rng-vs-dumped-mask", 1e-6,
+    )
+    compare(
+        lambda *a: jnp.mean(fused_ffn(*a, seed, p_act, p_hid)
+                            .astype(jnp.float32) ** 2),
+        lambda *a: jnp.mean(ref(*a, ma=ma, mh=mh)
+                            .astype(jnp.float32) ** 2),
+        "rng-vs-oracle", 2e-2,
+    )
+    return results
+
+
 def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
     """Generate (once) a WAV corpus at /tmp for the data-fed bench mode
     (delegates to the shared structured generator in data/synthetic.py)."""
@@ -115,12 +211,14 @@ def main():
 
     if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":
         check = run_flash_check()
+        ffn_check = run_ffn_check()
         print(json.dumps({
-            "metric": "flash-vs-XLA on-TPU parity (fwd+grad max rel err)",
-            "value": max(check.values()),
+            "metric": "kernel on-TPU parity (fwd+grad max rel err)",
+            "value": max(*check.values(), *ffn_check.values()),
             "unit": "rel-err",
             "vs_baseline": 0,
             "per_T": {str(t): round(v, 6) for t, v in check.items()},
+            "ffn": {k: round(v, 6) for k, v in ffn_check.items()},
             "backend": jax.default_backend(),
         }))
         return
@@ -153,6 +251,7 @@ def main():
                    "light": "light"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
             frontend_norm=os.environ.get("NRSE_BENCH_FNORM", "mxu"),
+            ffn_impl=os.environ.get("NRSE_BENCH_FFN", "xla"),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

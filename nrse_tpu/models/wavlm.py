@@ -110,6 +110,19 @@ class WavLMConfig:
     #              stride-2 k∈{2,3} C→C layers (1-6 of wavlm-large);
     #              layer 0 and non-matching layers fall back to "xla".
     frontend_norm: str = "mxu"
+    # FFN implementation:
+    #   "xla"   — two nn.Dense + jax.nn.gelu + nn.Dropout (XLA fuses the
+    #             pair at ~63% MXU efficiency: the exact-erf gelu and the
+    #             dropout mask multiply serialise between the matmuls,
+    #             docs/round2_status.md);
+    #   "fused" — ops/fused_ffn.py: both matmuls + gelu + both dropout
+    #             sites as one Pallas program with in-kernel hardware-PRNG
+    #             masks (fwd + two bwd kernels, custom VJP).  Same
+    #             Bernoulli dropout semantics, kernel-private bitstream.
+    #             Requires hidden/intermediate sizes divisible by the
+    #             128-lane tiling; non-conforming configs fall back to
+    #             "xla".
+    ffn_impl: str = "xla"
     # gather the [H,T,T] position bias per layer from the [buckets,H] table
     # instead of broadcasting a precomputed tensor into the scan — the
     # scan's cotangent then accumulates on the tiny table, unlocking long
@@ -388,6 +401,13 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
+        c, f = x.shape[-1], cfg.intermediate_size
+        # Mosaic needs 128-lane-aligned shapes; interpret mode (CPU tests)
+        # accepts anything, so small golden configs still cover the path
+        lane = 128 if jax.default_backend() != "cpu" else 8
+        if (cfg.ffn_impl == "fused" and c % lane == 0
+                and (f % 512 == 0 or (f < 512 and f % lane == 0))):
+            return self._fused(x, deterministic)
         h = nn.Dense(
             cfg.intermediate_size, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name="intermediate_dense",
@@ -400,6 +420,42 @@ class FeedForward(nn.Module):
         )(h)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         return h
+
+    def _fused(self, x, deterministic):
+        """Both FFN matmuls + exact-erf GELU + both dropout sites as ONE
+        Pallas program (ops/fused_ffn.py) — param tree identical to the
+        nn.Dense pair, so checkpoints and the HF converter are untouched.
+        Dropout masks come from the in-kernel hardware PRNG on TPU; on
+        CPU (interpret mode stubs the PRNG) they are built XLA-side and
+        fed to the masked kernel variant — same compute path."""
+        from nrse_tpu.ops.fused_ffn import (
+            DenseParams,
+            fused_ffn,
+            fused_ffn_masked,
+        )
+
+        cfg = self.config
+        c, f = x.shape[-1], cfg.intermediate_size
+        w1, b1 = DenseParams(f, c, cfg.param_dtype,
+                             name="intermediate_dense")()
+        w2, b2 = DenseParams(c, f, cfg.param_dtype, name="output_dense")()
+        p_act = 0.0 if deterministic else cfg.activation_dropout
+        p_hid = 0.0 if deterministic else cfg.hidden_dropout
+        if p_act == 0.0 and p_hid == 0.0:
+            return fused_ffn(x, w1, b1, w2, b2,
+                             jnp.zeros((2,), jnp.uint32), 0.0, 0.0)
+        key = self.make_rng("dropout")
+        if jax.default_backend() == "cpu":
+            ka, kh = jax.random.split(key)
+            ma = (jax.random.bernoulli(ka, 1 - p_act, x.shape[:-1] + (f,))
+                  .astype(jnp.float32) / (1 - p_act)) if p_act else \
+                jnp.ones(x.shape[:-1] + (f,), jnp.float32)
+            mh = (jax.random.bernoulli(kh, 1 - p_hid, x.shape)
+                  .astype(jnp.float32) / (1 - p_hid)) if p_hid else \
+                jnp.ones(x.shape, jnp.float32)
+            return fused_ffn_masked(x, w1, b1, w2, b2, ma, mh)
+        seed = jax.random.bits(key, (2,), jnp.uint32)
+        return fused_ffn(x, w1, b1, w2, b2, seed, p_act, p_hid)
 
 
 class EncoderLayer(nn.Module):
