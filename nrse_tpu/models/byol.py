@@ -103,6 +103,8 @@ class BYOLSpeechModel:
                 else jnp.float32,
                 use_flash_attention=tpu_cfg.get("flash_attention", False),
                 remat=tpu_cfg.get("remat", False),
+                frontend_norm=tpu_cfg.get("frontend_norm", "mxu"),
+                ffn_impl=tpu_cfg.get("ffn_impl", "xla"),
             )
         self.encoder_config = encoder_config
         self.projection_dim = model_cfg.get("projection_dim", 1024)

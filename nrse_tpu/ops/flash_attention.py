@@ -648,6 +648,7 @@ def _fwd_streamed(q, k, v, gate, bias_rel, mask_add, *, block_q: int,
             pltpu.VMEM((g, block_q, d), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_STREAMED_COMPILER_PARAMS,
     )(q, k, v, gate, win, mask_add)
     return out, lse
 
@@ -764,6 +765,7 @@ def _bwd_dq_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             pltpu.VMEM((g, nk, block_q + block_k), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_STREAMED_COMPILER_PARAMS,
     )(q, k, gate, win, mask_add, do, v, lse, delta)
     dbrel = _fold_qk_windows(dwin[:, :, :, 0, :], t, block_q)
     return dq, dgate, dbrel
@@ -853,6 +855,7 @@ def _bwd_dkv_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
             jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_STREAMED_COMPILER_PARAMS,
     )(q, k, v, gate, win, mask_add, do, lse, delta)
     return dk, dv
 
@@ -863,6 +866,15 @@ def _bwd_dkv_streamed(q, k, v, gate, bias_rel, mask_add, do, lse, delta, *,
 
 def _streamed(t: int) -> bool:
     return t > STREAM_THRESHOLD
+
+
+# The streamed kernels' unrolled head loop plus the [NK, W] dwin update
+# temporaries push Mosaic's scoped-VMEM *stack* past its 16 MB default at
+# T≈6k (measured: 16.29 MB at T=6016, g=16) — raise the limit; v5e has
+# 128 MB VMEM and the block working set is only ~3 MB.
+_STREAMED_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024,
+)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))

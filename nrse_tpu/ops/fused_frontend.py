@@ -37,7 +37,6 @@ asserts fwd+grad parity against the reference composition).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -45,9 +44,10 @@ from flax import linen as nn
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nrse_tpu.ops.tpu_math import gelu as _gelu
+from nrse_tpu.ops.tpu_math import gelu_grad as _gelu_grad
+
 BLOCK_ROWS = 512
-_INV_SQRT2 = 1.0 / math.sqrt(2.0)
-_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
 def _interpret() -> bool:
@@ -79,12 +79,12 @@ def _fwd_kernel(y_ref, t2_ref, w01_ref, w2_ref, b_ref, g_ref, beta_ref,
     inv = jax.lax.rsqrt(var + eps)
     xh = (z - mean) * inv
     ln = xh * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
-    # exact-erf GELU (reference activation; approximate='tanh' would be
-    # faster but changes numerics)
-    o = 0.5 * ln * (1.0 + jax.lax.erf(ln * _INV_SQRT2))
+    # erf-form GELU (reference activation; tanh would change numerics) on
+    # the A&S erf — Mosaic has no erf lowering (ops/tpu_math.py)
+    o = _gelu(ln)
     o_ref[0] = o.astype(o_ref.dtype)
     xhat_ref[0] = xh.astype(xhat_ref.dtype)
-    rstd_ref[0] = inv[:, 0]
+    rstd_ref[0] = inv
 
 
 def _fwd_call(y, t2, w01, w2, bvec, gvec, betavec, *, t_blocks: int,
@@ -112,7 +112,11 @@ def _fwd_call(y, t2, w01, w2, bvec, gvec, betavec, *, t_blocks: int,
         out_specs=[
             row_spec(c),
             row_spec(c),
-            pl.BlockSpec((1, bt), lambda i, j: (i, j),
+            # [B, T, 1] (not [B, T]): a (1, bt) block on a 2-D array
+            # violates Mosaic's 8×128 block-divisibility rule (found on
+            # real TPU; interpret mode accepts it) — the trailing
+            # singleton makes the last two dims (bt, 1) = (divisible, ==)
+            pl.BlockSpec((1, bt, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -120,7 +124,7 @@ def _fwd_call(y, t2, w01, w2, bvec, gvec, betavec, *, t_blocks: int,
             # x̂ residual in the activation dtype: bf16 in training (halves
             # residual HBM), f32 in golden-test mode (exact gradients)
             jax.ShapeDtypeStruct((b, tp, c), y.dtype),
-            jax.ShapeDtypeStruct((b, tp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(y, t2, w01, w2, bvec[None, :], gvec[None, :], betavec[None, :])
@@ -147,15 +151,13 @@ def _bwd_kernel(y_ref, t2_ref, xhat_ref, rstd_ref, w01_ref, w2_ref,
         dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
 
     xh = xhat_ref[0].astype(jnp.float32)                 # [BT, C]
-    inv = rstd_ref[0][:, None]                            # [BT, 1]
+    inv = rstd_ref[0]                                     # [BT, 1]
     gamma = g_ref[:].astype(jnp.float32)                  # [1, C]
     ln = xh * gamma + beta_ref[:].astype(jnp.float32)
     dout = dout_ref[0].astype(jnp.float32)
 
-    # GELU'(ln) = Φ(ln) + ln·φ(ln)
-    phi_big = 0.5 * (1.0 + jax.lax.erf(ln * _INV_SQRT2))
-    phi_small = jnp.exp(-0.5 * ln * ln) * _INV_SQRT2PI
-    dln = dout * (phi_big + ln * phi_small)
+    # GELU'(ln) = Φ(ln) + ln·φ(ln) (A&S erf, ops/tpu_math.py)
+    dln = dout * _gelu_grad(ln)
 
     dg_ref[:] += jnp.sum(dln * xh, axis=0, keepdims=True)
     dbeta_ref[:] += jnp.sum(dln, axis=0, keepdims=True)
@@ -211,7 +213,7 @@ def _bwd_call(y, t2, xhat, rstd, w01, w2, gvec, betavec, dout, *,
             row_spec(c2),
             row_spec(c),
             row_spec(c),
-            pl.BlockSpec((1, bt), lambda i, j: (i, j),
+            pl.BlockSpec((1, bt, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             full(c2),
             full(c),

@@ -58,6 +58,8 @@ def _encoder_config_from(config) -> WavLMConfig:
         if tpu_cfg.get("compute_dtype", "bfloat16") == "bfloat16"
         else jnp.float32,
         use_flash_attention=tpu_cfg.get("flash_attention", False),
+        frontend_norm=tpu_cfg.get("frontend_norm", "mxu"),
+        ffn_impl=tpu_cfg.get("ffn_impl", "xla"),
     )
 
 

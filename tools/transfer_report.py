@@ -216,6 +216,18 @@ def main():
                 smoke=args.smoke,
             )
             best = os.path.join(ckpt_dir, "best_classifier_model")
+            # Per-stage disk cache: the full pipeline (2 tasks × 2 variants
+            # × [train + 3 readouts]) in one process accumulates host RSS
+            # past the box's 125 GB (observed: OOM-killed at 129 GB during
+            # the 7th readout) — cache every finished readout so a re-run
+            # with --reuse resumes instead of repeating TPU work.
+            cache = os.path.join(args.corpus, f"readout_{task}_{variant}.json")
+            if args.reuse and os.path.exists(cache):
+                with open(cache) as f:
+                    results[f"{task}_{variant}"] = json.load(f)
+                print(f"# transfer: readout {task}/{variant} (cached)",
+                      flush=True)
+                continue
             if not (args.reuse and os.path.isdir(best)):
                 import importlib
 
@@ -226,8 +238,18 @@ def main():
             results[f"{task}_{variant}"] = robustness_readout(
                 config, best, task, noise_eval
             )
+            with open(cache, "w") as f:
+                json.dump(results[f"{task}_{variant}"], f)
             print(json.dumps({f"{task}_{variant}":
                               results[f"{task}_{variant}"]}), flush=True)
+            # bound host memory growth across stages: drop compiled
+            # executables and cycle-collect dataloader/dataset graphs
+            import gc
+
+            import jax
+
+            jax.clear_caches()
+            gc.collect()
 
     # ---- artifact ----
     os.makedirs(args.out, exist_ok=True)
