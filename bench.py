@@ -185,6 +185,69 @@ def run_ffn_check():
     return results
 
 
+def run_frontend_check():
+    """On-device fused conv+LN+GELU frontend parity (NRSE_BENCH_CHECK_ONLY=1).
+
+    CPU tests (tests/test_fused_frontend.py) run the kernel in interpret
+    mode, which accepts programs Mosaic rejects or miscompiles (the [B,T]
+    rstd BlockSpec and the erf lowering gap were both found only here) —
+    this compares the Mosaic-compiled kernel against the XLA composition
+    (stride-2 VALID conv → f32 channel-LN → erf GELU) fwd+grad at
+    wavlm-large frontend shapes, in f32 (tight tolerance) and bf16 (the
+    training dtype).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.ops.fused_frontend import fused_conv_ln_gelu
+
+    def oracle(x, kernel, bias, scale, ln_bias, eps=1e-5):
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(2,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ).astype(jnp.float32) + bias
+        m = out.mean(-1, keepdims=True)
+        v = jnp.maximum((out * out).mean(-1, keepdims=True) - m * m, 0.0)
+        ln = (out - m) * jax.lax.rsqrt(v + eps) * scale + ln_bias
+        return jax.nn.gelu(ln, approximate=False).astype(x.dtype)
+
+    results = {}
+    for k, t_in, dtype, tol in ((3, 2051, jnp.float32, 1e-3),
+                                (2, 1030, jnp.float32, 1e-3),
+                                (3, 2051, jnp.bfloat16, 2e-2)):
+        rng = np.random.default_rng(k)
+        c = 512
+        x = jnp.asarray(rng.standard_normal((2, t_in, c)), dtype)
+        kern = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+        lnb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+
+        def loss(fn):
+            return lambda *a: jnp.mean(fn(*a).astype(jnp.float32) ** 2)
+
+        va, ga = jax.jit(jax.value_and_grad(loss(oracle),
+                                            argnums=(0, 1, 2, 3, 4)))(
+            x, kern, bias, scale, lnb)
+        vb, gb = jax.jit(jax.value_and_grad(loss(fused_conv_ln_gelu),
+                                            argnums=(0, 1, 2, 3, 4)))(
+            x, kern, bias, scale, lnb)
+        errs = [abs(float(va) - float(vb)) / max(abs(float(va)), 1e-6)]
+        for a, b in zip(ga, gb):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            errs.append(float(np.abs(a - b).max() /
+                              max(np.abs(a).max(), 1e-3)))
+        worst = max(errs)
+        label = f"k{k}-{jnp.dtype(dtype).name}"
+        results[label] = worst
+        assert worst < tol, f"fused-frontend {label} FAILED on TPU: {worst}"
+        print(f"# check: fused-frontend {label} max rel err {worst:.2e} OK",
+              file=sys.stderr, flush=True)
+    return results
+
+
 def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
     """Generate (once) a WAV corpus at /tmp for the data-fed bench mode
     (delegates to the shared structured generator in data/synthetic.py)."""
@@ -212,13 +275,16 @@ def main():
     if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":
         check = run_flash_check()
         ffn_check = run_ffn_check()
+        fe_check = run_frontend_check()
         print(json.dumps({
             "metric": "kernel on-TPU parity (fwd+grad max rel err)",
-            "value": max(*check.values(), *ffn_check.values()),
+            "value": max(*check.values(), *ffn_check.values(),
+                         *fe_check.values()),
             "unit": "rel-err",
             "vs_baseline": 0,
             "per_T": {str(t): round(v, 6) for t, v in check.items()},
             "ffn": {k: round(v, 6) for k, v in ffn_check.items()},
+            "frontend": {k: round(v, 6) for k, v in fe_check.items()},
             "backend": jax.default_backend(),
         }))
         return
