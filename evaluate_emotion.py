@@ -38,6 +38,15 @@ def evaluate(config, checkpoint_path: str, task: str = "categorical"):
     from nrse_tpu.train.losses import compute_ccc
     from nrse_tpu.train.schedules import make_emotion_optimizer
 
+    # persistent compile cache: a readout-only process (no trainer ran, so
+    # set_seed never configured it) otherwise pays the full multi-minute
+    # tunnel compile for every eval jit
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("NRSE_COMPILE_CACHE", "/tmp/nrse_jax_cache"),
+        )
+
     em = config["emotion"]
     enc_cfg = _encoder_config_from(config)
     model = EmotionClassifier(

@@ -159,6 +159,13 @@ def main():
     p.add_argument("--corpus", default="/tmp/nrse_transfer")
     p.add_argument("--smoke", action="store_true",
                    help="tiny-encoder CPU pipeline check (no quality claim)")
+    # internal: run ONE stage ("byol" or "<task>:<variant>") and exit.
+    # evaluate_emotion readouts leak ~2 GB/min of host RSS (observed: the
+    # all-in-one-process run OOM-killed at 129 GB on the 7th readout, and
+    # jax.clear_caches()+gc between stages does not reclaim it) — a
+    # process boundary per stage is the reliable fix; the per-stage cache
+    # files carry the results back to the parent.
+    p.add_argument("--stage", default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
 
     if args.smoke:
@@ -190,13 +197,44 @@ def main():
     byol_clean = _symlink_split(
         audio_dir, os.path.join(args.corpus, "byol_clean"), "MSP-SYN_Tr_")
 
+    def run_stage_subprocess(stage):
+        import subprocess
+
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--stage", stage, "--reuse",
+               "--train", str(args.train), "--dev", str(args.dev),
+               "--byol-epochs", str(args.byol_epochs),
+               "--byol-batch", str(args.byol_batch),
+               "--ser-epochs", str(args.ser_epochs),
+               "--ser-batch", str(args.ser_batch),
+               "--ser-lr", str(args.ser_lr),
+               "--corpus", args.corpus, "--out", args.out]
+        if args.skip_dimensional:
+            cmd.append("--skip-dimensional")
+        if args.smoke:
+            cmd.append("--smoke")
+        print(f"# transfer: stage {stage} (subprocess)", flush=True)
+        rc = subprocess.run(cmd).returncode
+        assert rc == 0, f"stage {stage} subprocess failed (rc={rc})"
+
+    # smoke keeps stages inline (fast CPU check) unless the env var forces
+    # the subprocess path so tests can cover the real orchestration mode
+    subprocess_stages = args.stage is None and (
+        not args.smoke or os.environ.get("NRSE_TRANSFER_SUBPROC") == "1")
+
     # ---- stage 1: BYOL pretraining on the Train split ----
     byol_ckpt_dir = os.path.join(args.corpus, "byol_ckpt")
     byol_best = os.path.join(byol_ckpt_dir, "best_val_loss")
     if not (args.reuse and os.path.isdir(byol_best)):
-        byol_best = run_byol(byol_clean, noise_train, byol_ckpt_dir,
-                             args.byol_epochs, args.byol_batch,
-                             smoke=args.smoke)
+        if subprocess_stages:
+            run_stage_subprocess("byol")
+            assert os.path.isdir(byol_best)
+        else:
+            byol_best = run_byol(byol_clean, noise_train, byol_ckpt_dir,
+                                 args.byol_epochs, args.byol_batch,
+                                 smoke=args.smoke)
+    if args.stage == "byol":
+        return
     print(f"# transfer: BYOL checkpoint at {byol_best}", flush=True)
 
     results = {}
@@ -209,18 +247,11 @@ def main():
 
     for task, preset, cat_only, fn_name, mod_name in tasks:
         for variant, enc in (("byol", byol_best), ("random", None)):
-            ckpt_dir = os.path.join(args.corpus, f"ser_{task}_{variant}")
-            config = ser_config(
-                preset, labels_csv, audio_dir, noise_train, enc, ckpt_dir,
-                args.ser_epochs, args.ser_batch, args.ser_lr, cat_only,
-                smoke=args.smoke,
-            )
-            best = os.path.join(ckpt_dir, "best_classifier_model")
-            # Per-stage disk cache: the full pipeline (2 tasks × 2 variants
-            # × [train + 3 readouts]) in one process accumulates host RSS
-            # past the box's 125 GB (observed: OOM-killed at 129 GB during
-            # the 7th readout) — cache every finished readout so a re-run
-            # with --reuse resumes instead of repeating TPU work.
+            stage = f"{task}:{variant}"
+            if args.stage is not None and args.stage != stage:
+                continue
+            # per-stage disk cache: results survive a killed run and carry
+            # stage-subprocess results back to the parent
             cache = os.path.join(args.corpus, f"readout_{task}_{variant}.json")
             if args.reuse and os.path.exists(cache):
                 with open(cache) as f:
@@ -228,6 +259,18 @@ def main():
                 print(f"# transfer: readout {task}/{variant} (cached)",
                       flush=True)
                 continue
+            if subprocess_stages:
+                run_stage_subprocess(stage)
+                with open(cache) as f:
+                    results[f"{task}_{variant}"] = json.load(f)
+                continue
+            ckpt_dir = os.path.join(args.corpus, f"ser_{task}_{variant}")
+            config = ser_config(
+                preset, labels_csv, audio_dir, noise_train, enc, ckpt_dir,
+                args.ser_epochs, args.ser_batch, args.ser_lr, cat_only,
+                smoke=args.smoke,
+            )
+            best = os.path.join(ckpt_dir, "best_classifier_model")
             if not (args.reuse and os.path.isdir(best)):
                 import importlib
 
@@ -242,14 +285,8 @@ def main():
                 json.dump(results[f"{task}_{variant}"], f)
             print(json.dumps({f"{task}_{variant}":
                               results[f"{task}_{variant}"]}), flush=True)
-            # bound host memory growth across stages: drop compiled
-            # executables and cycle-collect dataloader/dataset graphs
-            import gc
-
-            import jax
-
-            jax.clear_caches()
-            gc.collect()
+    if args.stage is not None:
+        return
 
     # ---- artifact ----
     os.makedirs(args.out, exist_ok=True)
