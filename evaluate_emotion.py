@@ -118,6 +118,12 @@ def main(argv=None):
     parser.add_argument("--task", default="categorical",
                         choices=["categorical", "dimensional"])
     parser.add_argument("--device", default=None)
+    parser.add_argument("--out-json", default=None,
+                        help="also write the {clean, noisy} report here "
+                             "(lets orchestration run each evaluation in "
+                             "its own process — the TPU-tunnel dispatch "
+                             "path leaks host RSS, see "
+                             "tools/transfer_report.py)")
     args = parser.parse_args(argv)
     config = validate_config(load_config(args.config))
     if args.device:
@@ -127,7 +133,13 @@ def main(argv=None):
 
     if config.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    return evaluate(config, args.checkpoint, args.task)
+    report = evaluate(config, args.checkpoint, args.task)
+    if args.out_json:
+        import json
+
+        with open(args.out_json, "w") as f:
+            json.dump(report, f)
+    return report
 
 
 if __name__ == "__main__":

@@ -129,15 +129,41 @@ def ser_config(preset, labels_csv, audio_dir, noise_dir, encoder_ckpt,
 
 
 def robustness_readout(config, ckpt_path, task, eval_noise_dir):
-    """clean / snr8 / snr4 metrics via evaluate_emotion.evaluate."""
-    import evaluate_emotion
+    """clean / snr8 / snr4 metrics via evaluate_emotion, one subprocess
+    per evaluation: the TPU-tunnel jit-dispatch path leaks host RSS
+    (~2 GB/min measured — the host dataloader itself is clean: 70 MB over
+    a full epoch in isolation), so each evaluate() gets a fresh process.
+    A larger eval batch cuts the number of tunnel dispatches 4x (and with
+    it both the leak and the wall time); results are identical — metrics
+    are per-sample and padded rows are sliced off via ``__count__``."""
+    import subprocess
+    import tempfile
+
+    import yaml
 
     out = {}
     for snr in (8, 4):
         cfg = copy.deepcopy(config)
         cfg["data"]["noise_data_path"] = eval_noise_dir
         cfg["data"]["snr_range"] = [snr]
-        report = evaluate_emotion.evaluate(cfg, ckpt_path, task)
+        if not cfg.get("device") == "cpu":
+            cfg["emotion"]["batch_size"] = 64
+        with tempfile.NamedTemporaryFile("w", suffix=".yaml",
+                                         delete=False) as f:
+            yaml.safe_dump(cfg, f)
+            cfg_path = f.name
+        res_path = cfg_path.replace(".yaml", "_report.json")
+        eval_py = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "evaluate_emotion.py")
+        rc = subprocess.run(
+            [sys.executable, eval_py, "--config", cfg_path,
+             "--checkpoint", ckpt_path, "--task", task,
+             "--out-json", res_path]).returncode
+        assert rc == 0, f"evaluate subprocess failed (snr{snr}, rc={rc})"
+        with open(res_path) as f:
+            report = json.load(f)
+        os.unlink(cfg_path)
+        os.unlink(res_path)
         out.setdefault("clean", report["clean"])
         out[f"snr{snr}"] = report["noisy"]
     return out
@@ -272,11 +298,36 @@ def main():
             )
             best = os.path.join(ckpt_dir, "best_classifier_model")
             if not (args.reuse and os.path.isdir(best)):
-                import importlib
-
-                trainer = getattr(importlib.import_module(mod_name), fn_name)
                 print(f"# transfer: training {task}/{variant}", flush=True)
-                trainer(config)
+                if args.smoke:
+                    import importlib
+
+                    trainer = getattr(importlib.import_module(mod_name),
+                                      fn_name)
+                    trainer(config)
+                else:
+                    # training also runs as a leaf subprocess: this stage
+                    # process must hold no live TPU-tunnel context when
+                    # the readout subprocesses below become the client
+                    import subprocess
+                    import tempfile
+
+                    import yaml
+
+                    with tempfile.NamedTemporaryFile(
+                            "w", suffix=".yaml", delete=False) as f:
+                        yaml.safe_dump(config, f)
+                        cfg_path = f.name
+                    train_py = os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), "train_emotion.py")
+                    # --task on the CLI: get_config overwrites the config
+                    # dict's "task" key with the flag value
+                    rc = subprocess.run(
+                        [sys.executable, train_py, "--config", cfg_path,
+                         "--task", task]).returncode
+                    assert rc == 0, (
+                        f"training {task}/{variant} failed (rc={rc})")
+                    os.unlink(cfg_path)
             print(f"# transfer: readout {task}/{variant}", flush=True)
             results[f"{task}_{variant}"] = robustness_readout(
                 config, best, task, noise_eval
