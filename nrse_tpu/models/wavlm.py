@@ -395,6 +395,16 @@ class GatedAttention(nn.Module):
         return dense(c, name="out_proj")(out)
 
 
+def _tp_active() -> bool:
+    """True when a mesh with a model axis > 1 is registered
+    (``parallel.mesh.set_flash_tp_mesh`` — the shared Pallas-kernel TP
+    registry; kernels cannot observe the surrounding jit's shardings)."""
+    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
+
+    ctx = get_flash_tp_mesh()
+    return ctx is not None and ctx[0].shape.get(ctx[2], 1) > 1
+
+
 class FeedForward(nn.Module):
     config: WavLMConfig
 
@@ -406,7 +416,12 @@ class FeedForward(nn.Module):
         # accepts anything, so small golden configs still cover the path
         lane = 128 if jax.default_backend() != "cpu" else 8
         if (cfg.ffn_impl == "fused" and c % lane == 0
-                and (f % 512 == 0 or (f < 512 and f % lane == 0))):
+                and (f % 512 == 0 or (f < 512 and f % lane == 0))
+                and not _tp_active()):
+            # under a model>1 mesh the FFN weights are Megatron-sharded
+            # ([C, F/n]·[F/n, C] + psum) and GSPMD cannot partition a
+            # pallas_call — fall back to the XLA pair, which GSPMD
+            # shards/collects correctly (see parallel/mesh.py rules)
             return self._fused(x, deterministic)
         h = nn.Dense(
             cfg.intermediate_size, dtype=cfg.dtype,

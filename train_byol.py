@@ -82,12 +82,13 @@ def main(argv=None):
     mesh = make_mesh(mesh_cfg.get("data", -1), mesh_cfg.get("model", 1))
     n_chips = len(jax.devices())
     logger.info(f"mesh: {mesh}; {n_chips} devices")
-    if config.get("tpu", {}).get("flash_attention", False):
-        # pallas_call is not auto-partitioned by GSPMD — the flash kernels
-        # shard_map over the registered mesh when model>1 (no-op otherwise)
-        from nrse_tpu.parallel.mesh import set_flash_tp_mesh
+    # pallas_call is not auto-partitioned by GSPMD — register the mesh so
+    # the Pallas kernels can react to a model>1 axis (no-op otherwise):
+    # flash attention shard_maps over heads; the fused FFN falls back to
+    # the XLA pair (its weights are Megatron-sharded on 'model')
+    from nrse_tpu.parallel.mesh import set_flash_tp_mesh
 
-        set_flash_tp_mesh(mesh)
+    set_flash_tp_mesh(mesh)
 
     batch_size = config["training"]["batch_size"]
     data_axis = mesh.shape["data"]
