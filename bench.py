@@ -308,7 +308,11 @@ def main():
     iters = int(os.environ.get("NRSE_BENCH_ITERS", 10))
 
     if on_tpu:
-        remat_env = os.environ.get("NRSE_BENCH_REMAT", "1")
+        # round-3 measured default: fused-FFN Pallas kernel + "light" remat
+        # (the kernel's bf16 h1 residual + in-kernel PRNG masks shrink the
+        # light-remat footprint that OOM'd with the XLA FFN in round 2) —
+        # 464.6 vs 460.0 for the round-2 default, back-to-back at ITERS=30
+        remat_env = os.environ.get("NRSE_BENCH_REMAT", "light")
         cfg = WavLMConfig.large(
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
@@ -317,7 +321,7 @@ def main():
                    "light": "light"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
             frontend_norm=os.environ.get("NRSE_BENCH_FNORM", "mxu"),
-            ffn_impl=os.environ.get("NRSE_BENCH_FFN", "xla"),
+            ffn_impl=os.environ.get("NRSE_BENCH_FFN", "fused"),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)
