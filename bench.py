@@ -321,7 +321,12 @@ def main():
                    "light": "light"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
             frontend_norm=os.environ.get("NRSE_BENCH_FNORM", "mxu"),
+            frontend_conv=os.environ.get("NRSE_BENCH_FCONV", "xla"),
             ffn_impl=os.environ.get("NRSE_BENCH_FFN", "fused"),
+            # bf16 storage for the attention score/prob tensors: 472.7 vs
+            # 464.6 at ITERS=30, back-to-back (docs/round3_status.md §6)
+            score_dtype={"f32": None, "bf16": jnp.bfloat16}[
+                os.environ.get("NRSE_BENCH_SCOREDT", "bf16")],
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

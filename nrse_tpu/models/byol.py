@@ -104,7 +104,11 @@ class BYOLSpeechModel:
                 use_flash_attention=tpu_cfg.get("flash_attention", False),
                 remat=tpu_cfg.get("remat", False),
                 frontend_norm=tpu_cfg.get("frontend_norm", "mxu"),
+                frontend_conv=tpu_cfg.get("frontend_conv", "xla"),
                 ffn_impl=tpu_cfg.get("ffn_impl", "xla"),
+                score_dtype=jnp.bfloat16
+                if tpu_cfg.get("score_dtype", "float32") == "bfloat16"
+                else None,
             )
         self.encoder_config = encoder_config
         self.projection_dim = model_cfg.get("projection_dim", 1024)

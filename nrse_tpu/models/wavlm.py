@@ -110,6 +110,21 @@ class WavLMConfig:
     #              stride-2 k∈{2,3} C→C layers (1-6 of wavlm-large);
     #              layer 0 and non-matching layers fall back to "xla".
     frontend_norm: str = "mxu"
+    # strided-conv implementation for the feature encoder:
+    #   "xla"    — nn.Conv (lax.conv_general_dilated; XLA's strided-conv
+    #              lowering ran the ~2.6 TFLOP frontend at only ~20-30%
+    #              MXU efficiency ≈ 68 ms of the 389 ms round-3 step);
+    #   "matmul" — same conv expressed as free [B,T,C]→[B,T/s,sC]
+    #              reshapes + plain MXU dots (s consecutive taps stack on
+    #              the reshaped channel axis; remaining taps come from a
+    #              shifted slice), at exactly the conv's FLOPs and in pure
+    #              XLA so the conv→LN→gelu fusion is preserved — the
+    #              tap-matmul idea from ops/fused_frontend.py without the
+    #              custom-call boundary that made the Pallas version lose.
+    #              Applies to C≥8 strided layers; the k=10/s=5 raw-audio
+    #              layer 0 stays on nn.Conv (K=5 taps of 1 channel — no
+    #              MXU win to be had).  Identical param tree.
+    frontend_conv: str = "xla"
     # FFN implementation:
     #   "xla"   — two nn.Dense + jax.nn.gelu + nn.Dropout (XLA fuses the
     #             pair at ~63% MXU efficiency: the exact-erf gelu and the
@@ -128,6 +143,12 @@ class WavLMConfig:
     # scan's cotangent then accumulates on the tiny table, unlocking long
     # sequences. "auto" = on for T > 512.
     per_layer_pos_bias: Any = "auto"
+    # storage dtype for the XLA-attention [B,H,T,T] score/prob tensors
+    # (None = softmax dtype = f32, the HF-parity default).  bfloat16 halves
+    # the HBM traffic the attention passes are bound on (softmax
+    # max/exp/sum reductions still run f32 in registers); see
+    # ops/attention.py::gated_bias_attention.
+    score_dtype: Any = None
 
 
     @property
@@ -185,6 +206,51 @@ class WavLMConfig:
         return lengths
 
 
+def strided_conv_matmul(h, kernel, bias, k, s):
+    """VALID strided 1-D convolution as free reshapes + MXU dots.
+
+    ``y[:, t] = Σ_j x[:, s·t+j] @ W[j] + b`` is regrouped into
+    ``ceil(k/s)`` dots: tap group ``g`` covers taps ``g·s .. g·s+w-1``
+    (``w = min(s, k-g·s)``), whose inputs for all ``t`` are exactly the
+    rows ``g·s .. g·s+s·t_out-1`` of ``x`` — a zero-copy row-major
+    reshape to ``[B, t_out, s·C]`` (plus a trailing zero-pad of at most
+    ``k-s`` rows that only ever lands in sliced-away channels).  Total
+    FLOPs equal the conv's; every dot is a large ``[B·t_out, w·C]×[w·C,
+    C_out]`` matmul XLA schedules straight onto the MXU, and the
+    surrounding LN/GELU fusion is untouched (no custom-call boundary —
+    the failure mode of the fused Pallas frontend, docs/round3_status.md
+    §7).  Partial sums accumulate in f32; the result is rounded to
+    ``x.dtype`` exactly like ``nn.Conv``'s output cast.
+
+    Covers the reference encoder's HF conv feature extractor
+    (``/root/reference/src/models/encoder.py:14``; wavlm-large layers
+    1-6: k=3/k=2, s=2, C=512).
+    """
+    b, t, c = h.shape
+    cout = kernel.shape[-1]
+    t_out = (t - k) // s + 1
+    w = kernel.astype(h.dtype)
+    acc = None
+    for g in range(-(-k // s)):
+        lo = g * s
+        width = min(s, k - lo)
+        need = lo + s * t_out
+        hg = h if need <= t else jnp.pad(h, ((0, 0), (0, need - t), (0, 0)))
+        xg = hg[:, lo:need, :].reshape(b, t_out, s * c)
+        if width < s:
+            xg = xg[:, :, : width * c]
+        wg = w[lo:lo + width].reshape(width * c, cout)
+        # dot outputs stay at the activation dtype: f32 partials measured
+        # −13% on the whole step (587 MB/layer extra HBM at L1); the MXU
+        # still accumulates each dot in f32 internally, so the only cost
+        # of bf16 partials is one rounding per tap group.
+        part = jnp.dot(xg, wg)
+        acc = part if acc is None else acc + part
+    if bias is not None:
+        acc = (acc.astype(jnp.float32) + bias.astype(jnp.float32))
+    return acc.astype(h.dtype)
+
+
 class ConvFeatureEncoder(nn.Module):
     """Strided 1-D conv stack: 16 kHz samples → ~50 Hz frame features."""
 
@@ -220,11 +286,25 @@ class ConvFeatureEncoder(nn.Module):
                     h, kernel, cbias, scale, lbias, cfg.layer_norm_eps
                 )
                 continue
-            h = nn.Conv(
-                dim, (k,), strides=(s,), padding="VALID",
-                use_bias=cfg.conv_bias, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name=f"conv_{i}",
-            )(h)
+            if (cfg.frontend_conv == "matmul" and s > 1
+                    and h.shape[-1] >= 8):
+                # same conv as reshape+dot on the MXU (same param tree —
+                # ConvParams mirrors nn.Conv's names/shapes/initialisers)
+                from nrse_tpu.ops.fused_frontend import ConvParams
+
+                kernel, cbias = ConvParams(
+                    dim, k, h.shape[-1], use_bias=cfg.conv_bias,
+                    param_dtype=cfg.param_dtype, name=f"conv_{i}",
+                )()
+                h = strided_conv_matmul(
+                    h, kernel, cbias if cfg.conv_bias else None, k, s
+                )
+            else:
+                h = nn.Conv(
+                    dim, (k,), strides=(s,), padding="VALID",
+                    use_bias=cfg.conv_bias, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name=f"conv_{i}",
+                )(h)
             if cfg.feat_extract_norm == "layer":
                 # three interchangeable channel-LN implementations (same
                 # math + param layout; see WavLMConfig.frontend_norm)
@@ -366,7 +446,9 @@ class GatedAttention(nn.Module):
                 q, k, v, gate, pos_bias, key_padding_mask
             )
         else:
-            attn_fn = gated_bias_attention
+            attn_fn = partial(
+                gated_bias_attention, score_dtype=cfg.score_dtype
+            )
             if cfg.remat in ("attn", "attn+ffn", "light"):
                 # Recompute the [B, H, T, T] attention internals in the
                 # backward pass instead of saving them: they dominate scan
@@ -377,8 +459,7 @@ class GatedAttention(nn.Module):
                 # "ffn" mode) rather than an outer scan-body policy because
                 # named-saveable policies break lax.cond partial-eval under
                 # LayerDrop (branches would save different residual sets).
-                attn_fn = jax.checkpoint(gated_bias_attention,
-                                         prevent_cse=False)
+                attn_fn = jax.checkpoint(attn_fn, prevent_cse=False)
             out = attn_fn(q, k, v, gate, pos_bias, key_padding_mask)
         if cfg.attention_dropout > 0.0 and not deterministic:
             # HF drops attention *probabilities*; with the factored/flash

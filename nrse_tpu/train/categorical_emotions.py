@@ -59,7 +59,10 @@ def _encoder_config_from(config) -> WavLMConfig:
         else jnp.float32,
         use_flash_attention=tpu_cfg.get("flash_attention", False),
         frontend_norm=tpu_cfg.get("frontend_norm", "mxu"),
+        frontend_conv=tpu_cfg.get("frontend_conv", "xla"),
         ffn_impl=tpu_cfg.get("ffn_impl", "xla"),
+        score_dtype=jnp.bfloat16
+        if tpu_cfg.get("score_dtype", "float32") == "bfloat16" else None,
     )
 
 

@@ -107,6 +107,56 @@ def test_gradients_match_reference():
         assert err < 5e-4, f"{name}: rel err {err}"
 
 
+def test_bf16_score_storage_close_to_f32():
+    """score_dtype=bf16 stores the [B,H,T,T] tensors in bf16 (HBM-bandwidth
+    knob) while the softmax reductions stay f32 — values and all gradients
+    must track the f32-storage path within bf16 rounding."""
+    t = 128
+    (q, k, v, gate, bias_rel), mask = make_inputs(t, seed=3, masked=True)
+    jmask = jnp.asarray(mask)
+    dense = dense_bias_from_rel(bias_rel, t)
+
+    def loss(score_dtype, q, k, v, gate):
+        o = gated_bias_attention(q, k, v, gate, dense, jmask,
+                                 score_dtype=score_dtype)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    ref_o = gated_bias_attention(q, k, v, gate, dense, jmask)
+    bf_o = gated_bias_attention(q, k, v, gate, dense, jmask,
+                                score_dtype=jnp.bfloat16)
+    assert bf_o.dtype == ref_o.dtype
+    rel = np.abs(np.asarray(bf_o, np.float32) - np.asarray(ref_o)).max() / (
+        np.abs(np.asarray(ref_o)).max() + 1e-6)
+    assert rel < 2e-2, f"forward rel err {rel}"
+
+    g_ref = jax.grad(lambda *a: loss(None, *a), argnums=(0, 1, 2, 3))(
+        q, k, v, gate)
+    g_bf = jax.grad(lambda *a: loss(jnp.bfloat16, *a), argnums=(0, 1, 2, 3))(
+        q, k, v, gate)
+    for name, a, b in zip(["dq", "dk", "dv", "dgate"], g_ref, g_bf):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+        assert rel < 3e-2, f"{name}: rel err {rel}"
+
+
+def test_score_dtype_none_bitwise_noop():
+    """The default (score_dtype=None) must be bit-identical to the
+    pre-knob implementation (plain f32 einsum+softmax oracle)."""
+    t = 64
+    (q, k, v, gate, bias_rel), _ = make_inputs(t, seed=4)
+    dense = dense_bias_from_rel(bias_rel, t)
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(d)))
+    scores = scores + gate[..., None] * dense[None]
+    oracle = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v,
+                        preferred_element_type=v.dtype)
+    ours = gated_bias_attention(q, k, v, gate, dense)
+    assert np.array_equal(np.asarray(ours), np.asarray(oracle))
+
+
 def test_bf16_inputs():
     t = 64
     (q, k, v, gate, bias_rel), _ = make_inputs(t, seed=2)
