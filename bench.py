@@ -89,6 +89,62 @@ def run_flash_check():
     return results
 
 
+def run_block_check():
+    """On-device one-block attention parity (NRSE_BENCH_CHECK_ONLY=1).
+
+    Mosaic-compiled forward + all-five-gradients parity of
+    ``ops/block_attention.py`` (dense-bias short-T kernel) against the
+    XLA oracle at the flagship T=249 shape, masked, bf16 q/k/v.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.ops.attention import gated_bias_attention
+    from nrse_tpu.ops.block_attention import block_gated_attention
+
+    results = {}
+    for t, (b, h) in ((249, (4, 16)), (128, (2, 16))):
+        d = 64
+        rng = np.random.default_rng(t)
+        q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)),
+                               jnp.bfloat16) for _ in range(3))
+        gate = jnp.asarray(rng.uniform(0.5, 2.5, (b, h, t)), jnp.float32)
+        bias = jnp.asarray(0.5 * rng.standard_normal((h, t, t)),
+                           jnp.float32)
+        lengths = np.full((b,), t)
+        lengths[1] = t - t // 4
+        mask = jnp.asarray(
+            (np.arange(t)[None, :] < lengths[:, None]).astype(np.int32))
+
+        def loss(fn):
+            def f(q, k, v, gate, bias):
+                o = fn(q, k, v, gate, bias, mask)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            return f
+
+        vg_b = jax.jit(jax.value_and_grad(loss(block_gated_attention),
+                                          argnums=(0, 1, 2, 3, 4)))
+        vg_r = jax.jit(jax.value_and_grad(loss(gated_bias_attention),
+                                          argnums=(0, 1, 2, 3, 4)))
+        lb, gb = vg_b(q, k, v, gate, bias)
+        lr, gr = vg_r(q, k, v, gate, bias)
+        errs = [abs(float(lb) - float(lr)) / abs(float(lr))]
+        for a, b_ in zip(gb, gr):
+            a = np.asarray(a, np.float32)
+            b_ = np.asarray(b_, np.float32)
+            errs.append(float(np.abs(a - b_).max() /
+                              max(np.abs(b_).max(), 1e-3)))
+        worst = max(errs)
+        results[t] = worst
+        assert worst < 5e-2, (
+            f"block-vs-XLA parity FAILED on TPU at T={t}: rel err {worst}"
+        )
+        print(f"# check: T={t} block-vs-XLA fwd+grad max rel err "
+              f"{worst:.2e} OK", file=sys.stderr, flush=True)
+    return results
+
+
 def run_ffn_check():
     """On-device fused-FFN parity (NRSE_BENCH_CHECK_ONLY=1).
 
@@ -273,16 +329,22 @@ def main():
         jax.config.update("jax_default_prng_impl", rng_impl)
 
     if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":
-        check = run_flash_check()
-        ffn_check = run_ffn_check()
-        fe_check = run_frontend_check()
+        # NRSE_BENCH_CHECK_SEL picks a comma-separated subset (each kernel
+        # family's compiles cost minutes through the TPU tunnel).
+        sel = set(os.environ.get(
+            "NRSE_BENCH_CHECK_SEL", "flash,block,ffn,frontend").split(","))
+        check = run_flash_check() if "flash" in sel else {}
+        block_check = run_block_check() if "block" in sel else {}
+        ffn_check = run_ffn_check() if "ffn" in sel else {}
+        fe_check = run_frontend_check() if "frontend" in sel else {}
         print(json.dumps({
             "metric": "kernel on-TPU parity (fwd+grad max rel err)",
-            "value": max(*check.values(), *ffn_check.values(),
-                         *fe_check.values()),
+            "value": max(*check.values(), *block_check.values(),
+                         *ffn_check.values(), *fe_check.values()),
             "unit": "rel-err",
             "vs_baseline": 0,
             "per_T": {str(t): round(v, 6) for t, v in check.items()},
+            "block": {str(t): round(v, 6) for t, v in block_check.items()},
             "ffn": {k: round(v, 6) for k, v in ffn_check.items()},
             "frontend": {k: round(v, 6) for k, v in fe_check.items()},
             "backend": jax.default_backend(),

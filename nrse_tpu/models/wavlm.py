@@ -206,6 +206,16 @@ class WavLMConfig:
         return lengths
 
 
+def _use_block_kernel(t: int) -> bool:
+    """Flash-attention dispatch: at short T the one-block dense-bias
+    kernel (ops/block_attention.py) replaces the streaming Toeplitz
+    kernel — the shear + streaming-softmax machinery only pays off when
+    K/V must stream (docs/round3_status.md §7)."""
+    from nrse_tpu.ops.block_attention import MAX_T_PAD
+
+    return t <= MAX_T_PAD
+
+
 def strided_conv_matmul(h, kernel, bias, k, s):
     """VALID strided 1-D convolution as free reshapes + MXU dots.
 
@@ -440,11 +450,25 @@ class GatedAttention(nn.Module):
         gate = gate_a * (gate_b * const[None, :, None] - 1.0) + 2.0  # [B,H,T]
 
         if cfg.use_flash_attention:
-            from nrse_tpu.ops.flash_attention import flash_gated_attention
+            if pos_bias.ndim == 3:
+                # short T: dense-bias one-block kernel (no shear, no
+                # streaming softmax); the encoder produced the dense
+                # [H,T,T] bias exactly as for the XLA path
+                from nrse_tpu.ops.block_attention import (
+                    block_gated_attention,
+                )
 
-            out = flash_gated_attention(
-                q, k, v, gate, pos_bias, key_padding_mask
-            )
+                out = block_gated_attention(
+                    q, k, v, gate, pos_bias, key_padding_mask
+                )
+            else:
+                from nrse_tpu.ops.flash_attention import (
+                    flash_gated_attention,
+                )
+
+                out = flash_gated_attention(
+                    q, k, v, gate, pos_bias, key_padding_mask
+                )
         else:
             attn_fn = partial(
                 gated_bias_attention, score_dtype=cfg.score_dtype
@@ -669,11 +693,11 @@ class WavLMTransformerEncoder(nn.Module):
         per_layer = cfg.per_layer_pos_bias
         if per_layer == "auto":
             per_layer = t > 512
-        if cfg.use_flash_attention:
-            # Toeplitz generator [H, 2T]: the flash kernel shears bias
-            # blocks out of this vector on-chip; the scan cotangent (and
-            # the table scatter-add) are O(T), so the [H, T, T] tensor
-            # never exists in HBM at any sequence length.
+        if cfg.use_flash_attention and not _use_block_kernel(t):
+            # Toeplitz generator [H, 2T]: the streaming flash kernel
+            # shears bias blocks out of this vector on-chip; the scan
+            # cotangent (and the table scatter-add) are O(T), so the
+            # [H, T, T] tensor never exists in HBM at any sequence length.
             pos_bias = rel_bias_vector(
                 rel_attn_embed.astype(cfg.dtype), t,
                 cfg.num_buckets, cfg.max_bucket_distance,

@@ -1,0 +1,326 @@
+"""One-block Pallas attention for short sequences (dense gated bias).
+
+The streaming flash kernel (``ops/flash_attention.py``) exists for long
+audio, where the ``[B,H,T,T]`` tensors cannot live in HBM.  At the
+flagship 5 s workload (T≈249) it *loses* to XLA attention — the round-3
+measurement (366 vs 459, docs/round3_status.md §7) pinned the gap on
+machinery that only pays off when K/V must stream: the on-chip Toeplitz
+shear (log2(BQ) VPU roll passes per block) and the streaming-softmax
+rescale.  This module is the small-T design those measurements asked
+for, with both costs removed:
+
+  * **Dense bias input, no shear.**  At small T the model already
+    materialises the position bias ``[H, T, T]`` once per step for the
+    XLA path (f32, ~4 MB at T=249 — it is batch-shared, NOT the
+    [B,H,T,T] problem tensor).  The kernel streams bias blocks straight
+    from HBM; its gradient is accumulated in a revisited f32 output
+    block across the batch grid axis, so ``dbias`` is exact and the
+    bucket scatter-add stays outside in XLA, identical to the XLA path
+    (``ops/rel_pos_bias.py``).
+  * **Whole-row softmax.**  One (batch, head) grid step holds that
+    head's full q/k/v plus the [T, T] bias in VMEM (T≤384 → ≤2.8 MB),
+    so the softmax is a plain max/exp/sum — no running max, no
+    accumulator rescale.  Heads live in the grid, not a Python loop: a
+    16×-unrolled variant built a Mosaic program whose remote compile
+    never returned.
+  * Everything the XLA path round-trips through HBM per layer — four
+    f32 ``[36,16,249,249]`` passes in the round-3 profile, ~20% of the
+    389 ms step — stays in VMEM registers here.  Only ``out`` and the
+    per-row ``lse`` are written; the backward recomputes scores and
+    probabilities from the saved q/k/v/gate/bias.
+
+Numerics match ``ops.attention.gated_bias_attention``: scores/softmax
+f32, matmuls at the input precision with f32 accumulation, key padding
+as an additive 0/−1e9 row (fully-masked rows stay finite).  Padded
+*query* rows produce garbage that never escapes: their ``do`` cotangent
+is structurally zero (the pad's transpose is a slice), which zeroes
+``ds``/``dp`` rows, so dk/dv/dbias contractions over the q axis are
+unpolluted; padded o/dq rows are sliced away by the wrapper.
+
+Mosaic constraints honoured (docs/parity.md kernel notes): all slice
+offsets static (heads unrolled), per-row vectors carry a trailing unit
+dim, single-word PRNG n/a (no RNG in these kernels).
+
+Reference behaviour covered: HF ``WavLMAttention``'s gated relative
+position bias (the reference imports it via
+``/root/reference/src/models/encoder.py:14``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+LANE = 128
+# selection ceiling for this kernel (wavlm frames: 384 ≈ 7.7 s audio);
+# beyond it the streaming flash kernels take over
+MAX_T_PAD = 384
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
+                o_ref, lse_ref, *, scale: float):
+    # One (batch, head) grid step; refs are single-head 2-D blocks:
+    # q/k/v/o: [T, D]; gate/lse: [T, 1]; bias: [T, T]; madd: [1, T].
+    # (A head-unrolled variant — whole [H,·,·] blocks, Python loop over
+    # heads — produced a 16×-larger Mosaic program whose remote compile
+    # never returned; the grid form compiles in minutes and lets Mosaic
+    # pipeline the per-head DMAs.)
+    mm = q_ref.dtype
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                                 # [T, T]
+    s += gate_ref[...].astype(jnp.float32) * bias_ref[...].astype(
+        jnp.float32)
+    s += madd_ref[...].astype(jnp.float32)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l_safe = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    acc = jax.lax.dot_general(
+        p.astype(mm), v_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[...] = m + jnp.log(l_safe)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
+                do_ref, lse_ref, delta_ref,
+                dq_ref, dk_ref, dv_ref, dgate_ref, dbias_ref, *,
+                scale: float):
+    # grid (H, B) with batch INNERMOST: the dbias block (indexed by the
+    # head only) is revisited consecutively and accumulated in f32.
+    mm = q_ref.dtype
+    ib = pl.program_id(1)
+
+    @pl.when(ib == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    gate = gate_ref[...].astype(jnp.float32)                  # [T, 1]
+    bias = bias_ref[...].astype(jnp.float32)                  # [T, T]
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s += gate * bias + madd_ref[...].astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[...])                             # [T, T] f32
+    do = do_ref[...]
+    dp = jax.lax.dot_general(                                 # do · vᵀ
+        do, v_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[...])                            # [T, T] f32
+    pb = p.astype(mm)
+    dsb = ds.astype(mm)
+    dv_ref[...] = jax.lax.dot_general(                        # pᵀ · do
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dq_ref[...] = (jax.lax.dot_general(                       # ds · k
+        dsb, k_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dq_ref.dtype)
+    dk_ref[...] = (jax.lax.dot_general(                       # dsᵀ · q
+        dsb, q_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dk_ref.dtype)
+    dgate_ref[...] = jnp.sum(ds * bias, axis=1, keepdims=True)
+    dbias_ref[...] += gate * ds
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _fwd_call(q, k, v, gate4, bias, mask_add):
+    b, h, t, d = q.shape
+    vm = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    bh_td = lambda b_, h_: (b_, h_, 0, 0)  # noqa: E731
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=1.0 / (d ** 0.5)),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, 1), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t, t), lambda b_, h_: (h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, t), lambda b_, h_: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, 1), bh_td, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
+        ],
+        compiler_params=vm,
+        interpret=_interpret(),
+    )(q, k, v, gate4, bias, mask_add)
+    return out, lse
+
+
+def _bwd_call(q, k, v, gate4, bias, mask_add, do, lse, delta):
+    b, h, t, d = q.shape
+    vm = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    # grid (H, B), batch innermost: the per-head dbias output block is
+    # revisited on consecutive steps and accumulated in the kernel.
+    hb_td = lambda h_, b_: (b_, h_, 0, 0)  # noqa: E731
+    dq, dk, dv, dgate, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=1.0 / (d ** 0.5)),
+        grid=(h, b),
+        in_specs=[
+            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t, t), lambda h_, b_: (h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, t), lambda h_, b_: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t, t), lambda h_, b_: (h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((h, t, t), jnp.float32),
+        ],
+        compiler_params=vm,
+        interpret=_interpret(),
+    )(q, k, v, gate4, bias, mask_add, do, lse, delta)
+    return dq, dk, dv, dgate, dbias
+
+
+@jax.custom_vjp
+def _block_core(q, k, v, gate4, bias, mask_add):
+    out, _ = _fwd_call(q, k, v, gate4, bias, mask_add)
+    return out
+
+
+def _block_core_fwd(q, k, v, gate4, bias, mask_add):
+    out, lse = _fwd_call(q, k, v, gate4, bias, mask_add)
+    return out, (q, k, v, gate4, bias, mask_add, out, lse)
+
+
+def _block_core_bwd(res, do):
+    q, k, v, gate4, bias, mask_add, out, lse = res
+    # flash trick: rowsum(dp ⊙ p) == rowsum(do ⊙ o) — a tiny XLA reduce
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    dq, dk, dv, dgate, dbias = _bwd_call(
+        q, k, v, gate4, bias, mask_add, do, lse, delta)
+    return (dq, dk, dv, dgate.astype(gate4.dtype),
+            dbias.astype(bias.dtype), jnp.zeros_like(mask_add))
+
+
+_block_core.defvjp(_block_core_fwd, _block_core_bwd)
+
+
+def _tp_wrapped(b: int, h: int):
+    """shard_map over the registered TP mesh (pallas_call is not GSPMD-
+    partitioned) — heads are independent, the dense bias and its gradient
+    split on H with the owning shard."""
+    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
+
+    ctx = get_flash_tp_mesh()
+    if ctx is None:
+        return _block_core
+    mesh, data_ax, model_ax = ctx
+    n_model = mesh.shape.get(model_ax, 1)
+    n_data = mesh.shape.get(data_ax, 1)
+    if n_model <= 1:
+        return _block_core
+    if h % n_model:
+        raise ValueError(
+            f"block attention under TP: {h} heads not divisible by the "
+            f"'{model_ax}' mesh axis ({n_model})"
+        )
+    if b % n_data:
+        raise ValueError(
+            f"block attention under TP: batch {b} not divisible by the "
+            f"'{data_ax}' mesh axis ({n_data})"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    bhtd = P(data_ax, model_ax, None, None)
+    return jax.shard_map(
+        _block_core,
+        mesh=mesh,
+        in_specs=(bhtd, bhtd, bhtd, bhtd, P(model_ax, None, None),
+                  P(data_ax, None, None)),
+        out_specs=bhtd,
+        check_vma=False,
+    )
+
+
+def block_gated_attention(q, k, v, gate, pos_bias,
+                          key_padding_mask: Optional[jnp.ndarray] = None):
+    """Drop-in replacement for ``ops.attention.gated_bias_attention`` at
+    short T, consuming the same *dense* ``[H, T, T]`` position bias.
+
+    Args:
+      q, k, v: ``[B, H, T, D]``; gate: ``[B, H, T]``;
+      pos_bias: dense ``[H, T, T]`` (``rel_pos_bias.compute_position_bias``);
+      key_padding_mask: optional ``[B, T]`` (1 = valid).
+    Returns ``[B, H, T, D]`` in v's dtype.
+    """
+    b, h, t, d = q.shape
+    assert pos_bias.shape == (h, t, t), (
+        f"pos_bias must be dense [H,T,T]=({h},{t},{t}), got {pos_bias.shape}"
+    )
+    t_pad = _ceil_to(t, LANE)
+    pad_t = t_pad - t
+
+    valid = (jnp.ones((b, t), bool) if key_padding_mask is None
+             else key_padding_mask.astype(bool))
+    if pad_t:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        gate = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_t)))
+        pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_t), (0, pad_t)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_t)))
+    gate4 = gate[..., None]                                   # [B,H,Tp,1]
+    mask_add = jnp.where(valid, 0.0, NEG_INF).astype(
+        jnp.float32)[:, None, :]                              # [B,1,Tp]
+    bias_f32 = pos_bias.astype(jnp.float32)
+
+    out = _tp_wrapped(b, h)(q, k, v, gate4, bias_f32, mask_add)
+    if pad_t:
+        out = out[:, :, :t, :]
+    return out
