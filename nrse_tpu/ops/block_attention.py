@@ -17,12 +17,14 @@ for, with both costs removed:
     block across the batch grid axis, so ``dbias`` is exact and the
     bucket scatter-add stays outside in XLA, identical to the XLA path
     (``ops/rel_pos_bias.py``).
-  * **Whole-row softmax.**  One (batch, head) grid step holds that
-    head's full q/k/v plus the [T, T] bias in VMEM (T≤384 → ≤2.8 MB),
-    so the softmax is a plain max/exp/sum — no running max, no
-    accumulator rescale.  Heads live in the grid, not a Python loop: a
-    16×-unrolled variant built a Mosaic program whose remote compile
-    never returned.
+  * **Whole-row softmax.**  One (batch, head-group) grid step holds a
+    few heads' full q/k/v plus their [T, T] bias in VMEM (T≤384, g=4 →
+    ≤12 MB), so the softmax is a plain max/exp/sum — no running max, no
+    accumulator rescale.  Heads are split between the grid and a small
+    in-kernel loop (``NRSE_BLOCK_HEAD_GROUP``, default 4): one head is
+    only ~17 MFLOP at T=256 (sync-bound as its own grid step), while a
+    full 16-head unroll built a Mosaic program the remote compiler never
+    returned on.
   * Everything the XLA path round-trips through HBM per layer — four
     f32 ``[36,16,249,249]`` passes in the round-3 profile, ~20% of the
     389 ms step — stays in VMEM registers here.  Only ``out`` and the
@@ -62,6 +64,21 @@ LANE = 128
 # beyond it the streaming flash kernels take over
 MAX_T_PAD = 384
 _VMEM_LIMIT = 64 * 1024 * 1024
+# heads per grid step: one step's MXU work is only ~17 MFLOP per head at
+# T=256, so a single-head grid pays a sync per ~1 µs of compute; a small
+# Python loop amortises it while keeping the Mosaic program ~g× (a full
+# 16-head unroll was never accepted by the remote compiler).  Sweepable
+# via NRSE_BLOCK_HEAD_GROUP; must divide the head count.
+_HEAD_GROUP = 4
+
+
+def _head_group(h: int) -> int:
+    import os
+
+    g = int(os.environ.get("NRSE_BLOCK_HEAD_GROUP", _HEAD_GROUP))
+    while h % g:
+        g -= 1
+    return max(g, 1)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -77,38 +94,40 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
-                o_ref, lse_ref, *, scale: float):
-    # One (batch, head) grid step; refs are single-head 2-D blocks:
-    # q/k/v/o: [T, D]; gate/lse: [T, 1]; bias: [T, T]; madd: [1, T].
-    # (A head-unrolled variant — whole [H,·,·] blocks, Python loop over
-    # heads — produced a 16×-larger Mosaic program whose remote compile
-    # never returned; the grid form compiles in minutes and lets Mosaic
-    # pipeline the per-head DMAs.)
+                o_ref, lse_ref, *, scale: float, g: int):
+    # One (batch, head-group) grid step; refs carry g heads:
+    # q/k/v/o: [g, T, D]; gate/lse: [g, T, 1]; bias: [g, T, T];
+    # madd: [1, T].  g is a small Python loop (one head is ~17 MFLOP at
+    # T=256 — sync-bound; a full 16-head unroll was never accepted by
+    # the remote compiler).
     mm = q_ref.dtype
-    s = jax.lax.dot_general(
-        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                                 # [T, T]
-    s += gate_ref[...].astype(jnp.float32) * bias_ref[...].astype(
-        jnp.float32)
-    s += madd_ref[...].astype(jnp.float32)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l_safe = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
-    acc = jax.lax.dot_general(
-        p.astype(mm), v_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[...] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[...] = m + jnp.log(l_safe)
+    madd = madd_ref[...].astype(jnp.float32)
+    for hi in range(g):
+        s = jax.lax.dot_general(
+            q_ref[hi], k_ref[hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                             # [T, T]
+        s += gate_ref[hi].astype(jnp.float32) * bias_ref[hi].astype(
+            jnp.float32)
+        s += madd
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l_safe = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        acc = jax.lax.dot_general(
+            p.astype(mm), v_ref[hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[hi] = (acc / l_safe).astype(o_ref.dtype)
+        lse_ref[hi] = m + jnp.log(l_safe)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
                 do_ref, lse_ref, delta_ref,
                 dq_ref, dk_ref, dv_ref, dgate_ref, dbias_ref, *,
-                scale: float):
-    # grid (H, B) with batch INNERMOST: the dbias block (indexed by the
-    # head only) is revisited consecutively and accumulated in f32.
+                scale: float, g: int):
+    # grid (H-groups, B) with batch INNERMOST: the dbias block (indexed
+    # by the head group only) is revisited consecutively and accumulated
+    # in f32.
     mm = q_ref.dtype
     ib = pl.program_id(1)
 
@@ -116,36 +135,38 @@ def _bwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
     def _():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    gate = gate_ref[...].astype(jnp.float32)                  # [T, 1]
-    bias = bias_ref[...].astype(jnp.float32)                  # [T, T]
-    s = jax.lax.dot_general(
-        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    s += gate * bias + madd_ref[...].astype(jnp.float32)
-    p = jnp.exp(s - lse_ref[...])                             # [T, T] f32
-    do = do_ref[...]
-    dp = jax.lax.dot_general(                                 # do · vᵀ
-        do, v_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta_ref[...])                            # [T, T] f32
-    pb = p.astype(mm)
-    dsb = ds.astype(mm)
-    dv_ref[...] = jax.lax.dot_general(                        # pᵀ · do
-        pb, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-    dq_ref[...] = (jax.lax.dot_general(                       # ds · k
-        dsb, k_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale).astype(dq_ref.dtype)
-    dk_ref[...] = (jax.lax.dot_general(                       # dsᵀ · q
-        dsb, q_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale).astype(dk_ref.dtype)
-    dgate_ref[...] = jnp.sum(ds * bias, axis=1, keepdims=True)
-    dbias_ref[...] += gate * ds
+    madd = madd_ref[...].astype(jnp.float32)
+    for hi in range(g):
+        gate = gate_ref[hi].astype(jnp.float32)               # [T, 1]
+        bias = bias_ref[hi].astype(jnp.float32)               # [T, T]
+        s = jax.lax.dot_general(
+            q_ref[hi], k_ref[hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s += gate * bias + madd
+        p = jnp.exp(s - lse_ref[hi])                          # [T, T] f32
+        do = do_ref[hi]
+        dp = jax.lax.dot_general(                             # do · vᵀ
+            do, v_ref[hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[hi])                         # [T, T] f32
+        pb = p.astype(mm)
+        dsb = ds.astype(mm)
+        dv_ref[hi] = jax.lax.dot_general(                     # pᵀ · do
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dq_ref[hi] = (jax.lax.dot_general(                    # ds · k
+            dsb, k_ref[hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[hi] = (jax.lax.dot_general(                    # dsᵀ · q
+            dsb, q_ref[hi], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
+        dgate_ref[hi] = jnp.sum(ds * bias, axis=1, keepdims=True)
+        dbias_ref[hi] += gate * ds
 
 
 # ---------------------------------------------------------------------------
@@ -154,24 +175,25 @@ def _bwd_kernel(q_ref, k_ref, v_ref, gate_ref, bias_ref, madd_ref,
 
 def _fwd_call(q, k, v, gate4, bias, mask_add):
     b, h, t, d = q.shape
+    g = _head_group(h)
     vm = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     bh_td = lambda b_, h_: (b_, h_, 0, 0)  # noqa: E731
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=1.0 / (d ** 0.5)),
-        grid=(b, h),
+        functools.partial(_fwd_kernel, scale=1.0 / (d ** 0.5), g=g),
+        grid=(b, h // g),
         in_specs=[
-            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1), bh_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t, t), lambda b_, h_: (h_, 0, 0),
+            pl.BlockSpec((None, g, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, 1), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, t), lambda b_, h_: (h_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, t), lambda b_, h_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, t, d), bh_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), bh_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, 1), bh_td, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
@@ -185,32 +207,33 @@ def _fwd_call(q, k, v, gate4, bias, mask_add):
 
 def _bwd_call(q, k, v, gate4, bias, mask_add, do, lse, delta):
     b, h, t, d = q.shape
+    g = _head_group(h)
     vm = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
-    # grid (H, B), batch innermost: the per-head dbias output block is
-    # revisited on consecutive steps and accumulated in the kernel.
+    # grid (H-groups, B), batch innermost: the per-group dbias output
+    # block is revisited on consecutive steps and accumulated in-kernel.
     hb_td = lambda h_, b_: (b_, h_, 0, 0)  # noqa: E731
     dq, dk, dv, dgate, dbias = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=1.0 / (d ** 0.5)),
-        grid=(h, b),
+        functools.partial(_bwd_kernel, scale=1.0 / (d ** 0.5), g=g),
+        grid=(h // g, b),
         in_specs=[
-            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t, t), lambda h_, b_: (h_, 0, 0),
+            pl.BlockSpec((None, g, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, 1), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, t), lambda h_, b_: (h_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, t), lambda h_, b_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, 1), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, 1), hb_td, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, d), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t, 1), hb_td, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t, t), lambda h_, b_: (h_, 0, 0),
+            pl.BlockSpec((None, g, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, d), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, g, t, 1), hb_td, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, t), lambda h_, b_: (h_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
