@@ -304,6 +304,58 @@ def run_frontend_check():
     return results
 
 
+def run_opt_check():
+    """On-device fused AdamW+EMA parity (NRSE_BENCH_CHECK_ONLY=1).
+
+    Mosaic-compiled kernel path (leaf large enough for the kernel) vs
+    the pure-XLA fallback formula at identical inputs.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.ops.fused_optimizer import (
+        FusedAdamWSpec,
+        fused_adamw_ema_update,
+    )
+    from nrse_tpu.train.schedules import make_byol_optimizer
+
+    rng = np.random.default_rng(0)
+    shape = (2048, 512)  # 1 Mi elements -> kernel path
+    params = {"encoder": {"w": jnp.asarray(
+        rng.standard_normal(shape), jnp.float32)}}
+    target = {"encoder": {"w": jnp.asarray(
+        rng.standard_normal(shape), jnp.float32)}}
+    grads = {"encoder": {"w": jnp.asarray(
+        3.0 * rng.standard_normal(shape), jnp.float32)}}  # clip engages
+    optimizer = make_byol_optimizer(1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    spec = FusedAdamWSpec(schedule=1e-3, weight_decay=1e-5, ema_decay=0.99)
+
+    fn = jax.jit(lambda g, p, s, t: fused_adamw_ema_update(
+        g, p, s, t, spec))
+    p_k, s_k, t_k = fn(grads, params, opt_state, target)
+
+    # oracle: the same optax chain + EMA lerp
+    import optax
+    upd, s_ref = jax.jit(optimizer.update)(grads, opt_state, params)
+    p_ref = optax.apply_updates(params, upd)
+    t_ref = jax.tree.map(lambda t, o: 0.99 * t + 0.01 * o, target, p_ref)
+
+    errs = {}
+    for name, a, b in (("p", p_k, p_ref), ("t", t_k, t_ref),
+                       ("mu", s_k[1][0].mu, s_ref[1][0].mu),
+                       ("nu", s_k[1][0].nu, s_ref[1][0].nu)):
+        a = np.asarray(a["encoder"]["w"], np.float64)
+        b = np.asarray(b["encoder"]["w"], np.float64)
+        errs[name] = float(np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+    worst = max(errs.values())
+    assert worst < 1e-4, f"fused-optimizer parity FAILED on TPU: {errs}"
+    print(f"# check: fused-optimizer vs optax max rel err {worst:.2e} OK",
+          file=sys.stderr, flush=True)
+    return errs
+
+
 def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
     """Generate (once) a WAV corpus at /tmp for the data-fed bench mode
     (delegates to the shared structured generator in data/synthetic.py)."""
@@ -332,21 +384,25 @@ def main():
         # NRSE_BENCH_CHECK_SEL picks a comma-separated subset (each kernel
         # family's compiles cost minutes through the TPU tunnel).
         sel = set(os.environ.get(
-            "NRSE_BENCH_CHECK_SEL", "flash,block,ffn,frontend").split(","))
+            "NRSE_BENCH_CHECK_SEL", "flash,block,ffn,frontend,opt"
+        ).split(","))
         check = run_flash_check() if "flash" in sel else {}
         block_check = run_block_check() if "block" in sel else {}
         ffn_check = run_ffn_check() if "ffn" in sel else {}
         fe_check = run_frontend_check() if "frontend" in sel else {}
+        opt_check = run_opt_check() if "opt" in sel else {}
         print(json.dumps({
             "metric": "kernel on-TPU parity (fwd+grad max rel err)",
             "value": max(*check.values(), *block_check.values(),
-                         *ffn_check.values(), *fe_check.values()),
+                         *ffn_check.values(), *fe_check.values(),
+                         *opt_check.values()),
             "unit": "rel-err",
             "vs_baseline": 0,
             "per_T": {str(t): round(v, 6) for t, v in check.items()},
             "block": {str(t): round(v, 6) for t, v in block_check.items()},
             "ffn": {k: round(v, 6) for k, v in ffn_check.items()},
             "frontend": {k: round(v, 6) for k, v in fe_check.items()},
+            "opt": {k: round(v, 6) for k, v in opt_check.items()},
             "backend": jax.default_backend(),
         }))
         return
@@ -427,9 +483,21 @@ def main():
     # aliasing online/target buffers (same buffer donated twice) — fixed in
     # models/byol.py::init.  Donation lets XLA reuse the ~6 GB state for its
     # outputs, freeing HBM headroom for lighter remat.
+    # NRSE_BENCH_OPT=fused: single-HBM-pass Pallas AdamW+EMA kernel
+    # (ops/fused_optimizer.py) replacing the optax update + EMA lerp
+    fused_spec = None
+    if os.environ.get("NRSE_BENCH_OPT", "xla") == "fused":
+        from nrse_tpu.ops.fused_optimizer import FusedAdamWSpec
+        from nrse_tpu.train.schedules import cosine_annealing
+
+        fused_spec = FusedAdamWSpec(
+            schedule=cosine_annealing(1e-5, 100000),
+            weight_decay=1e-5, ema_decay=0.997,
+        )
     step = make_byol_train_step(
         model, optimizer,
         donate=os.environ.get("NRSE_BENCH_DONATE", "1") == "1",
+        fused_optimizer=fused_spec,
     )
 
     check = None

@@ -78,6 +78,7 @@ def make_byol_train_step(
     optimizer: optax.GradientTransformation,
     on_device_mixing: bool = True,
     donate: bool = True,
+    fused_optimizer: Optional[Any] = None,
 ) -> Callable[[BYOLTrainState, Dict[str, Any]], Tuple[BYOLTrainState, Dict[str, Any]]]:
     """Build the fused train step.
 
@@ -86,6 +87,11 @@ def make_byol_train_step(
         "snr": [B]}`` — views are built on device (mix → peak-norm → z-norm,
         ``noisy_speech_dataset.py:54-148`` semantics).
       * pre-featurised: ``{"clean_input_values", "noisy_input_values"}``.
+
+    ``fused_optimizer`` (a ``FusedAdamWSpec``) replaces the optax update +
+    EMA lerp with the single-HBM-pass Pallas kernel
+    (``ops/fused_optimizer.py``); ``optimizer`` still defines the
+    checkpointed state layout, which the fused path preserves.
     """
 
     def train_step(state: BYOLTrainState, batch: Dict[str, Any]):
@@ -120,18 +126,36 @@ def make_byol_train_step(
         )
         grad_norm = optax.global_norm(grads)
 
-        updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.variables.online["params"]
-        )
-        new_online_params = optax.apply_updates(
-            state.variables.online["params"], updates
-        )
-        new_vars = BYOLVariables(
-            online={**new_vars.online, "params": new_online_params},
-            target=new_vars.target,
-        )
-        # EMA after the optimizer step — reference order (train_byol.py:67-71)
-        new_vars = model.ema_update(new_vars)
+        if fused_optimizer is not None:
+            from nrse_tpu.ops.fused_optimizer import fused_adamw_ema_update
+
+            # optimizer step + EMA lerp in one Pallas HBM pass per leaf;
+            # EMA order matches the XLA branch (after the update,
+            # reference train_byol.py:67-71)
+            new_online_params, new_opt_state, new_target_params = \
+                fused_adamw_ema_update(
+                    grads, state.variables.online["params"],
+                    state.opt_state, new_vars.target["params"],
+                    fused_optimizer, grad_norm=grad_norm,
+                )
+            new_vars = BYOLVariables(
+                online={**new_vars.online, "params": new_online_params},
+                target={**new_vars.target, "params": new_target_params},
+            )
+        else:
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.variables.online["params"]
+            )
+            new_online_params = optax.apply_updates(
+                state.variables.online["params"], updates
+            )
+            new_vars = BYOLVariables(
+                online={**new_vars.online, "params": new_online_params},
+                target=new_vars.target,
+            )
+            # EMA after the optimizer step — reference order
+            # (train_byol.py:67-71)
+            new_vars = model.ema_update(new_vars)
 
         new_state = BYOLTrainState(
             variables=new_vars,

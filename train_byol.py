@@ -106,11 +106,27 @@ def main(argv=None):
     # model + optimizer + state
     model = BYOLSpeechModel(config)
     total_steps = len(train_loader) * config["training"]["num_epochs"]
+    from nrse_tpu.train.schedules import cosine_annealing
+
+    schedule = cosine_annealing(
+        config["training"]["learning_rate"], total_steps
+    ) if total_steps else config["training"]["learning_rate"]
     optimizer = make_byol_optimizer(
-        config["training"]["learning_rate"],
+        schedule,
         weight_decay=config["training"]["weight_decay"],
         total_steps=total_steps,
     )
+    # tpu.optimizer_impl: fused = single-HBM-pass Pallas AdamW+EMA kernel
+    # (ops/fused_optimizer.py); checkpointed state layout is unchanged.
+    fused_spec = None
+    if config.get("tpu", {}).get("optimizer_impl", "xla") == "fused":
+        from nrse_tpu.ops.fused_optimizer import FusedAdamWSpec
+
+        fused_spec = FusedAdamWSpec(
+            schedule=schedule,
+            weight_decay=config["training"]["weight_decay"],
+            ema_decay=model.ema_decay,
+        )
     clip_seconds = config["data"]["max_audio_length"]
     sample = jnp.zeros((batch_size, int(clip_seconds * config["data"]["sample_rate"])))
     state = create_train_state(model, root_rng, sample, optimizer)
@@ -135,7 +151,9 @@ def main(argv=None):
     rsh = replicated_sharding(mesh)
     state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
 
-    train_step = make_byol_train_step(model, optimizer, donate=True)
+    train_step = make_byol_train_step(
+        model, optimizer, donate=True, fused_optimizer=fused_spec
+    )
 
     metric = config["training"].get("early_stopping_metric", "val_loss")
     early_stopping = EarlyStopping(
