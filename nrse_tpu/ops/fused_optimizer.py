@@ -128,10 +128,21 @@ def _leaf_update_xla(sc, g, p, mu, nu, pt):
         out_pt
 
 
+def _tp_active() -> bool:
+    """Under a model>1 mesh some param leaves are GSPMD-sharded over the
+    model axis; a pallas_call (opaque to GSPMD) would force a gather, so
+    the whole update falls back to the same formula in XLA — elementwise
+    ops partition cleanly (mirrors the fused-FFN fallback)."""
+    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
+
+    ctx = get_flash_tp_mesh()
+    return ctx is not None and ctx[0].shape.get(ctx[2], 1) > 1
+
+
 def _leaf_update(sc, g, p, mu, nu, pt):
     """One-leaf fused update; returns (p', mu', nu', pt'|None)."""
     geom = _kernel_geometry(p.shape)
-    if geom is None:
+    if geom is None or _tp_active():
         return _leaf_update_xla(sc, g, p, mu, nu, pt)
     rows, cols, br = geom
     shape2 = (rows, cols)
