@@ -445,6 +445,10 @@ def main():
             # 464.6 at ITERS=30, back-to-back (docs/round3_status.md §6)
             score_dtype={"f32": None, "bf16": jnp.bfloat16}[
                 os.environ.get("NRSE_BENCH_SCOREDT", "bf16")],
+            # tile-align the frame axis (249→256 at 5 s): the fused-FFN
+            # flatten and its pad/slice become free bitcasts (~6 ms/step of
+            # repack glue in the round-3 profile)
+            seq_pad_multiple=int(os.environ.get("NRSE_BENCH_SEQPAD", "1")),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

@@ -109,6 +109,7 @@ class BYOLSpeechModel:
                 score_dtype=jnp.bfloat16
                 if tpu_cfg.get("score_dtype", "float32") == "bfloat16"
                 else None,
+                seq_pad_multiple=int(tpu_cfg.get("seq_pad_multiple", 1)),
             )
         self.encoder_config = encoder_config
         self.projection_dim = model_cfg.get("projection_dim", 1024)

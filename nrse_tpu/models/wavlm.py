@@ -149,6 +149,21 @@ class WavLMConfig:
     # max/exp/sum reductions still run f32 in registers); see
     # ops/attention.py::gated_bias_attention.
     score_dtype: Any = None
+    # pad the transformer stack's frame axis to a multiple of this (1 =
+    # off).  5 s clips yield T=249 frames — NOT a multiple of the TPU's
+    # 8-sublane tiling, so every [B,T,C]↔[B·T,C] boundary (the fused-FFN
+    # flatten, its pad/slice) is a real HBM repack (~6 ms/step in the
+    # round-3 profile: pad.18 + slice.23 + reshape.818/819).  Padding once
+    # to 128 (one lane tile: 249→256) makes those reshapes free bitcasts
+    # and removes the block-attention kernel's per-layer T padding.  The
+    # extra frames are ~FLOP-free — the MXU and the Pallas kernels already
+    # compute on 256-padded tiles — and are *masked*: zero-filled before
+    # the positional conv (exactly HF's zero-pad-right semantics, so valid
+    # frames are bit-identical), excluded from attention via the additive
+    # key mask (exp underflows to exactly 0), per-frame ops (LN/FFN) cannot
+    # mix frames, and the pad is sliced off before pooling.  Dropout/
+    # LayerDrop bitstream shapes change (rbg precedent: same distribution).
+    seq_pad_multiple: int = 1
 
 
     @property
@@ -804,9 +819,29 @@ class WavLMModel(nn.Module):
                     hidden,
                 )
 
+        # Tile-align the frame axis for the whole transformer stack (see
+        # the seq_pad_multiple docstring).  Pad frames are zeros (= HF's
+        # conv zero-padding) and masked out of attention; valid frames are
+        # numerically unchanged, and the pad is sliced off again below.
+        pad_t = 0
+        if cfg.seq_pad_multiple > 1:
+            t_pad = -(-t_frames // cfg.seq_pad_multiple) * cfg.seq_pad_multiple
+            pad_t = t_pad - t_frames
+        enc_mask = frame_mask
+        if pad_t:
+            hidden = jnp.pad(hidden, ((0, 0), (0, pad_t), (0, 0)))
+            if frame_mask is None:
+                enc_mask = (jnp.arange(t_pad)[None, :] < t_frames).astype(
+                    jnp.int32
+                ) * jnp.ones((hidden.shape[0], 1), jnp.int32)
+            else:
+                enc_mask = jnp.pad(frame_mask, ((0, 0), (0, pad_t)))
+
         hidden = WavLMTransformerEncoder(cfg, name="encoder")(
-            hidden, frame_mask, deterministic
+            hidden, enc_mask, deterministic
         )
+        if pad_t:
+            hidden = hidden[:, :t_frames, :]
 
         if frame_mask is not None:
             m = frame_mask[..., None].astype(hidden.dtype)
