@@ -22,6 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_AUDIO_SEC_PER_SEC = 120.0  # dev.ipynb cell 37 (36*5s / 1.5s)
+# reference BYOL validation (similarity pass): 1.30 it/s at bs 36 × 5 s
+# ⇒ ≈234 audio-sec/sec/GPU (dev.ipynb cell 37) — the serving-side number
+INFER_BASELINE_AUDIO_SEC_PER_SEC = 234.0
 
 
 def run_flash_check():
@@ -503,6 +506,39 @@ def main():
         donate=os.environ.get("NRSE_BENCH_DONATE", "1") == "1",
         fused_optimizer=fused_spec,
     )
+
+    # NRSE_BENCH_MODE=infer: serving-side throughput — the fused BYOL
+    # validation pass (on-device SNR mix + both tower forwards + loss +
+    # per-sample similarity, deterministic).  Reference measured 1.30 it/s
+    # at bs 36 (dev.ipynb cell 37) ⇒ ≈234 audio-sec/sec/GPU.
+    if os.environ.get("NRSE_BENCH_MODE", "train") == "infer":
+        from nrse_tpu.train.byol_trainer import make_byol_eval_step
+
+        eval_step = make_byol_eval_step(model)
+        ebatch = {"clean": jnp.asarray(clean), "noise": jnp.asarray(noise),
+                  "snr": jnp.asarray(snr)}
+        for i in range(warmup):
+            loss, sim = eval_step(state, ebatch)
+            jax.block_until_ready(sim)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss, sim = eval_step(state, ebatch)
+        jax.block_until_ready(sim)
+        dt = (time.perf_counter() - t0) / iters
+        audio_sec_per_sec = batch * clip_seconds / dt
+        print(json.dumps({
+            "metric": "BYOL validation throughput (WavLM-large, bs%d, %gs "
+                      "clips, fused eval pass)" % (batch, clip_seconds)
+                      if on_tpu else "BYOL validation throughput (tiny CPU)",
+            "value": round(audio_sec_per_sec, 2),
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": round(
+                audio_sec_per_sec / INFER_BASELINE_AUDIO_SEC_PER_SEC, 3),
+            "step_time_s": round(dt, 4),
+            "loss": float(jnp.mean(loss)),
+            "backend": jax.default_backend(),
+        }))
+        return
 
     check = None
     if os.environ.get("NRSE_BENCH_CHECK", "0") == "1" and on_tpu:
