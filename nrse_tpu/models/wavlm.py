@@ -121,9 +121,16 @@ class WavLMConfig:
     #              XLA so the conv→LN→gelu fusion is preserved — the
     #              tap-matmul idea from ops/fused_frontend.py without the
     #              custom-call boundary that made the Pallas version lose.
-    #              Applies to C≥8 strided layers; the k=10/s=5 raw-audio
-    #              layer 0 stays on nn.Conv (K=5 taps of 1 channel — no
-    #              MXU win to be had).  Identical param tree.
+    #              Applies to C≥8 strided layers AND (via the single-dot
+    #              im2col branch) tiny-C layers.  Identical param tree.
+    #   "matmul0" — the single-dot im2col ONLY for tiny-C layers (the
+    #              k=10/s=5 raw-audio layer 0: full im2col is 10 values/
+    #              frame, one [B·T,10]×[10,512] dot writing the 590 MB
+    #              output exactly once); layers 1-6 stay on nn.Conv where
+    #              the matmul form measured slower (401.9 vs 458.8).  The
+    #              round-3 profile puts XLA's layer-0 strided-conv
+    #              lowering at ~10× its bandwidth floor (~7.7 ms of a
+    #              ~0.7 ms op) — this targets exactly that.
     frontend_conv: str = "xla"
     # FFN implementation:
     #   "xla"   — two nn.Dense + jax.nn.gelu + nn.Dropout (XLA fuses the
@@ -255,8 +262,8 @@ def strided_conv_matmul(h, kernel, bias, k, s):
     cout = kernel.shape[-1]
     t_out = (t - k) // s + 1
     w = kernel.astype(h.dtype)
-    acc = None
-    for g in range(-(-k // s)):
+
+    def tap_group(g):
         lo = g * s
         width = min(s, k - lo)
         need = lo + s * t_out
@@ -264,13 +271,31 @@ def strided_conv_matmul(h, kernel, bias, k, s):
         xg = hg[:, lo:need, :].reshape(b, t_out, s * c)
         if width < s:
             xg = xg[:, :, : width * c]
-        wg = w[lo:lo + width].reshape(width * c, cout)
-        # dot outputs stay at the activation dtype: f32 partials measured
-        # −13% on the whole step (587 MB/layer extra HBM at L1); the MXU
-        # still accumulates each dot in f32 internally, so the only cost
-        # of bf16 partials is one rounding per tap group.
-        part = jnp.dot(xg, wg)
-        acc = part if acc is None else acc + part
+        return xg, width
+
+    if c * k <= 32:
+        # Tiny channel count (the raw-audio layer 0: C=1, k=10): the full
+        # im2col is only k·c values per frame — materialise it (concat of
+        # the tap-group views, ~12 MB at bs 36 × 5 s) and run ONE dot, so
+        # the [B, t_out, C_out] output is written exactly once instead of
+        # once per tap group.  This is the path XLA's strided-conv
+        # lowering misses: the profile shows layer 0 at ~10× its
+        # bandwidth floor on the strided im2col gather.
+        cols = [tap_group(g)[0] for g in range(-(-k // s))]
+        x = jnp.concatenate(cols, axis=-1)               # [B, t_out, k·c]
+        acc = jnp.dot(x, w.reshape(k * c, cout))
+    else:
+        acc = None
+        for g in range(-(-k // s)):
+            xg, width = tap_group(g)
+            lo = g * s
+            wg = w[lo:lo + width].reshape(width * c, cout)
+            # dot outputs stay at the activation dtype: f32 partials
+            # measured −13% on the whole step (587 MB/layer extra HBM at
+            # L1); the MXU still accumulates each dot in f32 internally,
+            # so the only cost of bf16 partials is one rounding per group.
+            part = jnp.dot(xg, wg)
+            acc = part if acc is None else acc + part
     if bias is not None:
         acc = (acc.astype(jnp.float32) + bias.astype(jnp.float32))
     return acc.astype(h.dtype)
@@ -311,10 +336,17 @@ class ConvFeatureEncoder(nn.Module):
                     h, kernel, cbias, scale, lbias, cfg.layer_norm_eps
                 )
                 continue
-            if (cfg.frontend_conv == "matmul" and s > 1
-                    and h.shape[-1] >= 8):
+            tiny_c = h.shape[-1] * k <= 32  # single-dot im2col territory
+            if (s > 1
+                    and ((cfg.frontend_conv in ("matmul", "matmul0")
+                          and tiny_c)
+                         or (cfg.frontend_conv == "matmul"
+                             and h.shape[-1] >= 8))):
                 # same conv as reshape+dot on the MXU (same param tree —
-                # ConvParams mirrors nn.Conv's names/shapes/initialisers)
+                # ConvParams mirrors nn.Conv's names/shapes/initialisers).
+                # "matmul0" applies ONLY to tiny-C layers (the raw-audio
+                # layer 0), keeping XLA's conv+LN+gelu fusion for the
+                # C=512 layers where the matmul form measured slower.
                 from nrse_tpu.ops.fused_frontend import ConvParams
 
                 kernel, cbias = ConvParams(
