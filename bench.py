@@ -145,6 +145,51 @@ def run_block_check():
         )
         print(f"# check: T={t} block-vs-XLA fwd+grad max rel err "
               f"{worst:.2e} OK", file=sys.stderr, flush=True)
+
+        if t == 249:
+            # in-kernel output dropout: the RNG variant must equal the
+            # masked variant fed the dumped hardware-PRNG masks (the
+            # bitstream is regenerated, never stored) — fwd and grads
+            from nrse_tpu.ops.block_attention import (
+                _ceil_to,
+                dump_block_masks,
+            )
+
+            p = 0.1
+            seed = jnp.asarray([0x1234ABCD, 0], jnp.uint32)
+            t_pad = _ceil_to(t, 128)
+            dm = dump_block_masks(seed, b, h, t_pad, d, p)[:, :, :t, :]
+            keep_rate = float(jnp.mean(jnp.asarray(dm, jnp.float32) > 0))
+            results["drop_keep_rate_err"] = abs(keep_rate - (1 - p))
+
+            def loss_rng(q, k, v, gate, bias):
+                o = block_gated_attention(q, k, v, gate, bias, mask,
+                                          p_drop=p, dropout_seed=seed)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            def loss_msk(q, k, v, gate, bias):
+                o = block_gated_attention(q, k, v, gate, bias, mask,
+                                          dropout_mask=dm)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            lrng, grng = jax.jit(jax.value_and_grad(
+                loss_rng, argnums=(0, 1, 2, 3, 4)))(q, k, v, gate, bias)
+            lmsk, gmsk = jax.jit(jax.value_and_grad(
+                loss_msk, argnums=(0, 1, 2, 3, 4)))(q, k, v, gate, bias)
+            derrs = [abs(float(lrng) - float(lmsk)) / abs(float(lmsk))]
+            for a, b_ in zip(grng, gmsk):
+                a = np.asarray(a, np.float32)
+                b_ = np.asarray(b_, np.float32)
+                derrs.append(float(np.abs(a - b_).max()
+                                   / max(np.abs(b_).max(), 1e-3)))
+            results["drop_rng_vs_mask"] = max(derrs)
+            assert max(derrs) < 1e-5, (
+                f"block dropout rng-vs-dumped-mask mismatch: {max(derrs)}"
+            )
+            assert results["drop_keep_rate_err"] < 5e-3
+            print(f"# check: block dropout rng-vs-mask {max(derrs):.2e}, "
+                  f"keep-rate err {results['drop_keep_rate_err']:.2e} OK",
+                  file=sys.stderr, flush=True)
     return results
 
 
@@ -452,6 +497,9 @@ def main():
             # flatten and its pad/slice become free bitcasts (~6 ms/step of
             # repack glue in the round-3 profile)
             seq_pad_multiple=int(os.environ.get("NRSE_BENCH_SEQPAD", "1")),
+            # in-kernel output dropout for the block attention kernel
+            # (only meaningful with NRSE_BENCH_FLASH=1 at short T)
+            attn_dropout_impl=os.environ.get("NRSE_BENCH_ADROP", "xla"),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

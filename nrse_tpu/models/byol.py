@@ -110,6 +110,7 @@ class BYOLSpeechModel:
                 if tpu_cfg.get("score_dtype", "float32") == "bfloat16"
                 else None,
                 seq_pad_multiple=int(tpu_cfg.get("seq_pad_multiple", 1)),
+                attn_dropout_impl=tpu_cfg.get("attn_dropout_impl", "xla"),
             )
         self.encoder_config = encoder_config
         self.projection_dim = model_cfg.get("projection_dim", 1024)

@@ -156,6 +156,19 @@ class WavLMConfig:
     # max/exp/sum reductions still run f32 in registers); see
     # ops/attention.py::gated_bias_attention.
     score_dtype: Any = None
+    # where the per-head-output attention dropout happens when the block
+    # attention kernel is active:
+    #   "xla"    — nn.Dropout on the kernel's output (default; the only
+    #              option for the XLA and streaming-flash paths);
+    #   "kernel" — inside ops/block_attention.py with in-kernel hardware
+    #              PRNG (like the fused FFN): the [B,H,T,D] rng-bit
+    #              generation, mask store/unpack and bwd apply (~10 ms of
+    #              the round-3 step) leave the XLA program entirely.  Same
+    #              Bernoulli semantics, kernel-private bitstream; falls
+    #              back to "xla" on CPU (interpret stubs the PRNG) and
+    #              under model parallelism (per-shard streams would
+    #              collide).
+    attn_dropout_impl: str = "xla"
     # pad the transformer stack's frame axis to a multiple of this (1 =
     # off).  5 s clips yield T=249 frames — NOT a multiple of the TPU's
     # 8-sublane tiling, so every [B,T,C]↔[B·T,C] boundary (the fused-FFN
@@ -496,6 +509,7 @@ class GatedAttention(nn.Module):
         )
         gate = gate_a * (gate_b * const[None, :, None] - 1.0) + 2.0  # [B,H,T]
 
+        kernel_dropped = False
         if cfg.use_flash_attention:
             if pos_bias.ndim == 3:
                 # short T: dense-bias one-block kernel (no shear, no
@@ -505,9 +519,31 @@ class GatedAttention(nn.Module):
                     block_gated_attention,
                 )
 
-                out = block_gated_attention(
-                    q, k, v, gate, pos_bias, key_padding_mask
-                )
+                p = 0.0 if deterministic else cfg.attention_dropout
+                if (cfg.attn_dropout_impl == "kernel" and p > 0.0
+                        and not _tp_active()):
+                    # per-head-output dropout INSIDE the kernel (see the
+                    # attn_dropout_impl config comment); CPU uses the
+                    # masked kernel variant — same compute path
+                    key = self.make_rng("dropout")
+                    if jax.default_backend() == "cpu":
+                        dmask = (jax.random.bernoulli(key, 1 - p, q.shape)
+                                 .astype(jnp.float32) / (1 - p))
+                        out = block_gated_attention(
+                            q, k, v, gate, pos_bias, key_padding_mask,
+                            dropout_mask=dmask,
+                        )
+                    else:
+                        seed = jax.random.bits(key, (2,), jnp.uint32)
+                        out = block_gated_attention(
+                            q, k, v, gate, pos_bias, key_padding_mask,
+                            p_drop=p, dropout_seed=seed,
+                        )
+                    kernel_dropped = True
+                else:
+                    out = block_gated_attention(
+                        q, k, v, gate, pos_bias, key_padding_mask
+                    )
             else:
                 from nrse_tpu.ops.flash_attention import (
                     flash_gated_attention,
@@ -532,7 +568,8 @@ class GatedAttention(nn.Module):
                 # LayerDrop (branches would save different residual sets).
                 attn_fn = jax.checkpoint(attn_fn, prevent_cse=False)
             out = attn_fn(q, k, v, gate, pos_bias, key_padding_mask)
-        if cfg.attention_dropout > 0.0 and not deterministic:
+        if cfg.attention_dropout > 0.0 and not deterministic \
+                and not kernel_dropped:
             # HF drops attention *probabilities*; with the factored/flash
             # path we drop the per-head outputs instead (documented
             # deviation — probability dropout would force materialising

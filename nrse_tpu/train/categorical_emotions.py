@@ -64,6 +64,7 @@ def _encoder_config_from(config) -> WavLMConfig:
         score_dtype=jnp.bfloat16
         if tpu_cfg.get("score_dtype", "float32") == "bfloat16" else None,
         seq_pad_multiple=int(tpu_cfg.get("seq_pad_multiple", 1)),
+        attn_dropout_impl=tpu_cfg.get("attn_dropout_impl", "xla"),
     )
 
 

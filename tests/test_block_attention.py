@@ -84,6 +84,84 @@ def test_fully_masked_row_finite():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.parametrize("t", [100, 249])
+def test_dropout_masked_variant_matches_oracle(t):
+    """Kernel-applied output dropout (masked variant — the CPU-testable
+    path of the in-kernel RNG design) == oracle attention × mask, for
+    values and all gradients."""
+    (q, k, v, gate, bias), mask = make_inputs(t, seed=7, masked=True)
+    jmask = jnp.asarray(mask)
+    p = 0.25
+    dmask = (jax.random.bernoulli(jax.random.PRNGKey(9), 1 - p,
+                                  q.shape).astype(jnp.float32) / (1 - p))
+
+    def ref_fn(q, k, v, gate, bias):
+        return gated_bias_attention(q, k, v, gate, bias, jmask) * dmask
+
+    def ours_fn(q, k, v, gate, bias):
+        return block_gated_attention(q, k, v, gate, bias, jmask,
+                                     dropout_mask=dmask)
+
+    ref = ref_fn(q, k, v, gate, bias)
+    ours = ours_fn(q, k, v, gate, bias)
+    assert np.abs(np.asarray(ours) - np.asarray(ref)).max() < 2e-5
+
+    def loss(fn):
+        def f(*a):
+            o = fn(*a)
+            return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+        return f
+
+    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2, 3, 4))(
+        q, k, v, gate, bias)
+    g_ours = jax.grad(loss(ours_fn), argnums=(0, 1, 2, 3, 4))(
+        q, k, v, gate, bias)
+    for name, a, b in zip(["dq", "dk", "dv", "dgate", "dbias"],
+                          g_ref, g_ours):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+        assert err < 5e-4, f"{name}: rel err {err}"
+
+
+def test_model_kernel_dropout_path_runs():
+    """attn_dropout_impl='kernel' on CPU routes through the masked kernel
+    variant (training mode) and stays finite; deterministic mode is
+    unaffected (bit-identical to the default impl)."""
+    import dataclasses
+
+    from nrse_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    cfg = dataclasses.replace(
+        WavLMConfig.tiny(layerdrop=0.0), use_flash_attention=True,
+        attn_dropout_impl="kernel",
+    )
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((2, 8000)),
+                    jnp.float32)
+    model = WavLMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    o_det, _ = model.apply(params, x)
+    o_ref, _ = WavLMModel(
+        dataclasses.replace(cfg, attn_dropout_impl="xla")
+    ).apply(params, x)
+    assert np.array_equal(np.asarray(o_det), np.asarray(o_ref))
+    o_tr, _ = model.apply(
+        params, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "spec_augment": jax.random.PRNGKey(2)},
+    )
+    assert bool(jnp.isfinite(o_tr).all())
+
+
+def test_dump_block_masks_statistics():
+    """dump_block_masks (interpret: PRNG stubbed to zero bits → all-drop)
+    exercises shape/layout; the real bit-level check runs on TPU via
+    bench CHECK_ONLY."""
+    from nrse_tpu.ops.block_attention import dump_block_masks
+
+    m = dump_block_masks(jnp.zeros((2,), jnp.uint32), 2, 4, 128, 16, 0.1)
+    assert m.shape == (2, 4, 128, 16)
+
+
 def test_model_selects_block_kernel_at_short_t():
     """WavLMModel with flash enabled at short T routes through the block
     kernel (dense bias) and matches the XLA-attention model."""
