@@ -1,0 +1,131 @@
+"""Serving artifacts: jax.export roundtrip, bucketing, mask semantics.
+
+The artifact must reproduce the live model (same math up to compiled-
+fusion reassociation), route ragged batches through the bucket table,
+and be loadable without the model/checkpoint machinery (only the
+directory).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nrse_tpu.models.wavlm import WavLMConfig, WavLMModel
+from nrse_tpu.serve import (
+    ServingModel,
+    export_classifier,
+    export_embedder,
+    load_serving_model,
+)
+
+
+@pytest.fixture(scope="module")
+def embed_setup(tmp_path_factory):
+    cfg = WavLMConfig.tiny(layerdrop=0.0)
+    model = WavLMModel(cfg)
+    x = jnp.zeros((1, 16000), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out = str(tmp_path_factory.mktemp("artifact") / "embed")
+    export_embedder(variables, cfg, out, batch_sizes=(2, 4),
+                    clip_seconds=1.0)
+    return cfg, model, variables, out
+
+
+def test_manifest_and_files(embed_setup):
+    _, _, _, out = embed_setup
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["kind"] == "embed"
+    assert manifest["buckets"] == [2, 4]
+    for f in manifest["files"].values():
+        assert os.path.isfile(os.path.join(out, f))
+
+
+def test_artifact_matches_live_model(embed_setup):
+    cfg, model, variables, out = embed_setup
+    serve = load_serving_model(out)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32)
+    mask = np.ones((2, 16000), np.int32)
+    seq_live, pooled_live = model.apply(
+        variables, jnp.asarray(audio), attention_mask=jnp.asarray(mask),
+        deterministic=True,
+    )
+    seq_srv, pooled_srv = serve(audio)
+    # compiled-artifact vs eager apply: same math modulo fusion
+    # reassociation — tight tolerances, not bitwise
+    np.testing.assert_allclose(np.asarray(pooled_live), pooled_srv,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seq_live), seq_srv,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bucket_padding_and_chunking(embed_setup):
+    cfg, model, variables, out = embed_setup
+    serve = ServingModel(out)
+    rng = np.random.default_rng(1)
+    # 3 rows: routes to the 4-bucket with one padded row
+    a3 = rng.standard_normal((3, 16000)).astype(np.float32)
+    _, p3 = serve(a3)
+    assert p3.shape[0] == 3
+    # 7 rows: chunked 4 + 3 across calls; rows must match a direct call
+    a7 = np.concatenate([a3, rng.standard_normal((4, 16000))
+                         .astype(np.float32)])
+    _, p7 = serve(a7)
+    np.testing.assert_array_equal(p7[:3], p3)
+
+
+def test_short_audio_padded_and_masked(embed_setup):
+    cfg, model, variables, out = embed_setup
+    serve = ServingModel(out)
+    rng = np.random.default_rng(2)
+    short = rng.standard_normal((2, 12000)).astype(np.float32)
+    padded = np.zeros((2, 16000), np.float32)
+    padded[:, :12000] = short
+    mask = np.zeros((2, 16000), np.int32)
+    mask[:, :12000] = 1
+    seq_live, pooled_live = model.apply(
+        variables, jnp.asarray(padded), attention_mask=jnp.asarray(mask),
+        deterministic=True,
+    )
+    _, pooled_srv = serve(short)
+    np.testing.assert_allclose(np.asarray(pooled_live), pooled_srv,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_audio_longer_than_export_rejected(embed_setup):
+    *_, out = embed_setup
+    serve = ServingModel(out)
+    with pytest.raises(ValueError, match="exceeds"):
+        serve(np.zeros((1, 20000), np.float32))
+
+
+def test_classifier_artifact(tmp_path):
+    from nrse_tpu.models.emotion import EmotionClassifier
+
+    cfg = WavLMConfig.tiny(layerdrop=0.0)
+    clf = EmotionClassifier(cfg, hidden_dim=32, dropout=0.0,
+                            num_emotions=8)
+    x = jnp.zeros((1, 16000), jnp.float32)
+    m = jnp.ones((1, 16000), jnp.int32)
+    variables = clf.init({"params": jax.random.PRNGKey(0)}, x, m)
+    out = str(tmp_path / "clf")
+    export_classifier(clf, variables, out, batch_sizes=(2,),
+                      clip_seconds=1.0, task="both")
+    serve = load_serving_model(out)
+    audio = np.random.default_rng(3).standard_normal((2, 16000)) \
+        .astype(np.float32)
+    cat, dim = serve(audio)
+    assert cat.shape == (2, 8) and dim.shape == (2, 3)
+    cat_live, dim_live = clf.apply(
+        variables, jnp.asarray(audio), m.repeat(2, 0), "both",
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(cat_live), cat,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dim_live), dim,
+                               rtol=1e-5, atol=1e-5)
