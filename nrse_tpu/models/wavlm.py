@@ -588,10 +588,9 @@ def _tp_active() -> bool:
     """True when a mesh with a model axis > 1 is registered
     (``parallel.mesh.set_flash_tp_mesh`` — the shared Pallas-kernel TP
     registry; kernels cannot observe the surrounding jit's shardings)."""
-    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
+    from nrse_tpu.parallel.mesh import tp_model_parallel
 
-    ctx = get_flash_tp_mesh()
-    return ctx is not None and ctx[0].shape.get(ctx[2], 1) > 1
+    return tp_model_parallel()
 
 
 class FeedForward(nn.Module):

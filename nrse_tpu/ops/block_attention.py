@@ -152,7 +152,7 @@ def _fwd_kernel(*refs, scale: float, g: int, p_drop: float, masked: bool):
         if masked:
             o = o * dm_ref[hi].astype(jnp.float32)
         elif p_drop > 0.0:
-            kernel_rng.seed_mixed(seed_ref[0], ib, ihg * g + hi)
+            kernel_rng.seed_mixed(seed_ref[0] ^ seed_ref[1], ib, ihg * g + hi)
             o = o * kernel_rng.keep_mask(o.shape, p_drop)
         o_ref[hi] = o.astype(o_ref.dtype)
         lse_ref[hi] = m + jnp.log(l_safe)
@@ -203,7 +203,7 @@ def _bwd_kernel(*refs, scale: float, g: int, p_drop: float, masked: bool):
             do = (do.astype(jnp.float32)
                   * dm_ref[hi].astype(jnp.float32)).astype(mm)
         elif p_drop > 0.0:
-            kernel_rng.seed_mixed(seed_ref[0], ib, ihg * g + hi)
+            kernel_rng.seed_mixed(seed_ref[0] ^ seed_ref[1], ib, ihg * g + hi)
             do = (do.astype(jnp.float32)
                   * kernel_rng.keep_mask(do.shape, p_drop)).astype(mm)
         dp = jax.lax.dot_general(                             # do · vᵀ
@@ -432,7 +432,7 @@ def dump_block_masks(seed, b, h, t, d, p_drop):
     def kernel(seed_ref, m_ref):
         ib, ihg = pl.program_id(0), pl.program_id(1)
         for hi in range(g):
-            kernel_rng.seed_mixed(seed_ref[0], ib, ihg * g + hi)
+            kernel_rng.seed_mixed(seed_ref[0] ^ seed_ref[1], ib, ihg * g + hi)
             m_ref[hi] = kernel_rng.keep_mask((t, d), p_drop)
 
     return pl.pallas_call(
@@ -533,7 +533,9 @@ def block_gated_attention(q, k, v, gate, pos_bias,
     elif p_drop > 0.0:
         if dropout_seed is None:
             raise ValueError("p_drop > 0 requires dropout_seed")
-        if _tp_model_parallel():
+        from nrse_tpu.parallel.mesh import tp_model_parallel
+
+        if tp_model_parallel():
             raise ValueError(
                 "block attention in-kernel dropout under model parallelism "
                 "is unsupported (per-shard PRNG streams would collide) — "
@@ -546,13 +548,3 @@ def block_gated_attention(q, k, v, gate, pos_bias,
     if pad_t:
         out = out[:, :, :t, :]
     return out
-
-
-def _tp_model_parallel() -> bool:
-    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
-
-    ctx = get_flash_tp_mesh()
-    if ctx is None:
-        return False
-    mesh, _, model_ax = ctx
-    return mesh.shape.get(model_ax, 1) > 1

@@ -128,21 +128,18 @@ def _leaf_update_xla(sc, g, p, mu, nu, pt):
         out_pt
 
 
-def _tp_active() -> bool:
-    """Under a model>1 mesh some param leaves are GSPMD-sharded over the
-    model axis; a pallas_call (opaque to GSPMD) would force a gather, so
-    the whole update falls back to the same formula in XLA — elementwise
-    ops partition cleanly (mirrors the fused-FFN fallback)."""
-    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
-
-    ctx = get_flash_tp_mesh()
-    return ctx is not None and ctx[0].shape.get(ctx[2], 1) > 1
-
-
 def _leaf_update(sc, g, p, mu, nu, pt):
-    """One-leaf fused update; returns (p', mu', nu', pt'|None)."""
+    """One-leaf fused update; returns (p', mu', nu', pt'|None).
+
+    Under a model>1 mesh (``parallel.mesh.tp_model_parallel``) some param
+    leaves are GSPMD-sharded over the model axis; a pallas_call (opaque
+    to GSPMD) would force a gather, so the whole update falls back to the
+    same formula in XLA — elementwise ops partition cleanly (mirrors the
+    fused-FFN fallback)."""
+    from nrse_tpu.parallel.mesh import tp_model_parallel
+
     geom = _kernel_geometry(p.shape)
-    if geom is None or _tp_active():
+    if geom is None or tp_model_parallel():
         return _leaf_update_xla(sc, g, p, mu, nu, pt)
     rows, cols, br = geom
     shape2 = (rows, cols)
@@ -211,6 +208,29 @@ def _find_adam_state(state):
 
                 return node, outer
     return None
+
+
+def _bump_other_counts(state, count_inc):
+    """Advance the step ``count`` of every stateful optax node the fused
+    path bypasses (``scale_by_schedule``'s count when adamw is built with
+    a schedule, ``inject_hyperparams``'s, ...).  Without this, a
+    checkpoint written by the fused path and resumed on the XLA optax
+    path would re-evaluate the LR schedule at its stale (init-time)
+    count — the documented checkpoint interchangeability requires every
+    count in the tree to advance exactly as ``optimizer.update`` would
+    advance it.  The ``ScaleByAdamState`` node is excluded: its count is
+    already set by the caller."""
+    if isinstance(state, optax.ScaleByAdamState):
+        return state
+    if hasattr(state, "_fields") and "count" in state._fields:
+        state = state._replace(count=count_inc)
+    if isinstance(state, tuple):
+        rebuilt = type(state)(*(
+            _bump_other_counts(sub, count_inc) for sub in state
+        )) if hasattr(state, "_fields") else tuple(
+            _bump_other_counts(sub, count_inc) for sub in state)
+        return rebuilt
+    return state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -310,4 +330,5 @@ def fused_adamw_ema_update(
         )
     opt_state_n = rebuild(optax.ScaleByAdamState(
         count=count_inc, mu=mu_n, nu=nu_n))
+    opt_state_n = _bump_other_counts(opt_state_n, count_inc)
     return params_n, opt_state_n, target_n

@@ -99,6 +99,15 @@ def get_flash_tp_mesh():
     return _FLASH_TP
 
 
+def tp_model_parallel() -> bool:
+    """True when a mesh with a model axis > 1 is registered — the single
+    source of truth for "is tensor parallelism active" used by every
+    Pallas-kernel fallback decision (kernels are opaque to GSPMD and
+    cannot observe the surrounding jit's shardings)."""
+    return _FLASH_TP is not None and \
+        _FLASH_TP[0].shape.get(_FLASH_TP[2], 1) > 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over ``data``."""
     return NamedSharding(mesh, P("data"))

@@ -128,6 +128,43 @@ def test_mu_dtype_bf16():
     assert_trees_close(s_f[1][0].mu, s_ref[1][0].mu, 1e-2, "mu(bf16)")
 
 
+def test_schedule_count_advances_with_adam_count():
+    """Every stateful count in the optax tree must advance under the
+    fused path (not only ScaleByAdamState's) — otherwise a fused-path
+    checkpoint resumed on the XLA path re-evaluates the LR schedule at
+    its stale init-time count and the LR jumps back to peak."""
+    schedule = cosine_annealing(3e-4, 50)
+    optimizer = make_byol_optimizer(schedule, total_steps=50)
+    spec = FusedAdamWSpec(schedule=schedule, ema_decay=EMA)
+    params, target = make_tree(seed=4)
+    opt_state = optimizer.init(params)
+    ref_state = opt_state
+    for step in range(2):
+        grads = grads_like(params, 40 + step)
+        _, ref_state = optimizer.update(grads, ref_state, params)
+        params, opt_state, target = fused_adamw_ema_update(
+            grads, params, opt_state, target, spec)
+
+    def counts(state):
+        out = []
+
+        def walk(node):
+            if hasattr(node, "_fields") and "count" in node._fields:
+                out.append(int(node.count))
+            if isinstance(node, tuple):
+                for sub in node:
+                    walk(sub)
+
+        walk(state)
+        return out
+
+    ref_counts, fus_counts = counts(ref_state), counts(opt_state)
+    assert fus_counts == ref_counts
+    assert len(fus_counts) >= 2 and all(c == 2 for c in fus_counts), (
+        f"expected every stateful count at 2, got {fus_counts} "
+        "(the adamw(schedule) chain keeps a ScaleByScheduleState too)")
+
+
 def test_state_tree_structure_preserved():
     optimizer = make_byol_optimizer(1e-3)
     params, target = make_tree(seed=3)
