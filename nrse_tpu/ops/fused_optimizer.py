@@ -103,8 +103,12 @@ def _kernel_geometry(shape) -> Optional[tuple]:
     rows = n // cols
     if rows % 8:
         return None
-    # ~4 MB f32 blocks; ~10 streams stay under the raised VMEM limit
-    cap = max(8, (1 << 20) // cols)
+    # ≤2 MB f32 blocks: the EMA variant runs 9 VMEM streams
+    # (g/p/mu/nu/pt in + p/mu/nu/pt out), each double-buffered by
+    # Mosaic — 9 × 2 × 2 MB = 36 MB, comfortably inside the 64 MB
+    # scoped-VMEM limit.  (4 MB blocks measured-failed on the real chip:
+    # 72 MB scoped allocation on a [24576, 1024] scan-stacked leaf.)
+    cap = max(8, (1 << 19) // cols)
     br = 8
     for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
         if cand <= cap and rows % cand == 0:

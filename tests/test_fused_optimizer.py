@@ -79,6 +79,16 @@ def test_kernel_geometry_gate():
     assert _kernel_geometry((256,)) is None            # too small
     rows, cols, br = _kernel_geometry((24, 4096, 1024))
     assert rows == 24 * 4096 and cols == 1024 and rows % br == 0
+    # scoped-VMEM bound: 9 double-buffered streams of one block each must
+    # fit the 64 MB limit (the [24576, 1024] scan-stacked leaf OOM'd at
+    # 72 MB with 4 MB blocks on the real chip)
+    for shape in ((24576, 1024), (24, 4096, 1024), (512, 512),
+                  (24, 1024, 3072)):
+        geom = _kernel_geometry(shape)
+        if geom is None:
+            continue
+        r, c, b = geom
+        assert 9 * 2 * b * c * 4 <= 60 * 1024 * 1024, (shape, geom)
 
 
 @pytest.mark.parametrize("grad_scale", [0.001, 5.0])  # clip off / engaged
