@@ -487,7 +487,10 @@ def main():
                    "light": "light"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
             frontend_norm=os.environ.get("NRSE_BENCH_FNORM", "mxu"),
-            frontend_conv=os.environ.get("NRSE_BENCH_FCONV", "xla"),
+            # matmul0: single-dot im2col for the raw-audio k=10/s=5 conv
+            # (layer 0 only) — 476.1 vs 472.5 alone, part of the 486.3
+            # measured-best combo (docs/round3_status.md §9)
+            frontend_conv=os.environ.get("NRSE_BENCH_FCONV", "matmul0"),
             ffn_impl=os.environ.get("NRSE_BENCH_FFN", "fused"),
             # bf16 storage for the attention score/prob tensors: 472.7 vs
             # 464.6 at ITERS=30, back-to-back (docs/round3_status.md §6)
@@ -495,8 +498,9 @@ def main():
                 os.environ.get("NRSE_BENCH_SCOREDT", "bf16")],
             # tile-align the frame axis (249→256 at 5 s): the fused-FFN
             # flatten and its pad/slice become free bitcasts (~6 ms/step of
-            # repack glue in the round-3 profile)
-            seq_pad_multiple=int(os.environ.get("NRSE_BENCH_SEQPAD", "1")),
+            # repack glue in the round-3 profile) — 482.8 vs 472.5 alone,
+            # part of the 486.3 measured-best combo
+            seq_pad_multiple=int(os.environ.get("NRSE_BENCH_SEQPAD", "128")),
             # in-kernel output dropout for the block attention kernel
             # (only meaningful with NRSE_BENCH_FLASH=1 at short T)
             attn_dropout_impl=os.environ.get("NRSE_BENCH_ADROP", "xla"),
@@ -538,10 +542,11 @@ def main():
     # aliasing online/target buffers (same buffer donated twice) — fixed in
     # models/byol.py::init.  Donation lets XLA reuse the ~6 GB state for its
     # outputs, freeing HBM headroom for lighter remat.
-    # NRSE_BENCH_OPT=fused: single-HBM-pass Pallas AdamW+EMA kernel
-    # (ops/fused_optimizer.py) replacing the optax update + EMA lerp
+    # NRSE_BENCH_OPT=fused (default): single-HBM-pass Pallas AdamW+EMA
+    # kernel (ops/fused_optimizer.py) replacing the optax update + EMA lerp
+    # — 486.3 vs 485.9 on top of seqpad+matmul0 (within variance alone)
     fused_spec = None
-    if os.environ.get("NRSE_BENCH_OPT", "xla") == "fused":
+    if os.environ.get("NRSE_BENCH_OPT", "fused") == "fused":
         from nrse_tpu.ops.fused_optimizer import FusedAdamWSpec
         from nrse_tpu.train.schedules import cosine_annealing
 
@@ -562,16 +567,41 @@ def main():
     if os.environ.get("NRSE_BENCH_MODE", "train") == "infer":
         from nrse_tpu.train.byol_trainer import make_byol_eval_step
 
-        eval_step = make_byol_eval_step(model)
+        base_step = make_byol_eval_step(model)
+
+        # Chain each dispatch on the previous step's output, exactly like
+        # the train loop's donated-state chaining: with 30 identical
+        # independent calls the tunnel backend returned 0.2 ms/step — not
+        # a real execution rate.  The carry must ACCUMULATE a non-foldable
+        # data-dependent value: a ``sum(sim) * 0.0`` carry was folded to a
+        # constant by XLA, making every call bit-identical again (measured
+        # 0.3 ms/step).  ``sum(sim) * 1e-38`` (~1e-37 per step, ~3e-36
+        # after 30 steps) is far below f32 resolution of any SNR value, so
+        # ``b["snr"]`` is bitwise unchanged while each call's carry VALUE
+        # is distinct and depends on the previous call's output.
+        @jax.jit
+        def eval_step(st, batch, carry):
+            b = dict(batch)
+            b["snr"] = batch["snr"] + carry
+            loss, sim = base_step(st, b)
+            return loss, sim, carry + jnp.sum(sim) * 1e-38
+
         ebatch = {"clean": jnp.asarray(clean), "noise": jnp.asarray(noise),
-                  "snr": jnp.asarray(snr)}
+                  "snr": jnp.asarray(snr, jnp.float32)}
+        carry = jnp.zeros((), jnp.float32)
         for i in range(warmup):
-            loss, sim = eval_step(state, ebatch)
-            jax.block_until_ready(sim)
+            loss, sim, carry = eval_step(state, ebatch, carry)
+            float(carry)
         t0 = time.perf_counter()
         for _ in range(iters):
-            loss, sim = eval_step(state, ebatch)
-        jax.block_until_ready(sim)
+            loss, sim, carry = eval_step(state, ebatch, carry)
+        # Force a D2H fetch of the chain's final carry INSIDE the timed
+        # region: through the tunnel backend, block_until_ready returned
+        # before remote execution completed (measured 0.2 ms/step for a
+        # bs-36 dual-tower forward), while a data fetch cannot resolve
+        # until every chained step has actually run.  One scalar transfer
+        # amortized over `iters` steps.
+        float(carry)
         dt = (time.perf_counter() - t0) / iters
         audio_sec_per_sec = batch * clip_seconds / dt
         print(json.dumps({
