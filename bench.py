@@ -592,16 +592,19 @@ def main():
         for i in range(warmup):
             loss, sim, carry = eval_step(state, ebatch, carry)
             float(carry)
+        from nrse_tpu.utils.profiling import profile_trace
+
         t0 = time.perf_counter()
-        for _ in range(iters):
-            loss, sim, carry = eval_step(state, ebatch, carry)
-        # Force a D2H fetch of the chain's final carry INSIDE the timed
-        # region: through the tunnel backend, block_until_ready returned
-        # before remote execution completed (measured 0.2 ms/step for a
-        # bs-36 dual-tower forward), while a data fetch cannot resolve
-        # until every chained step has actually run.  One scalar transfer
-        # amortized over `iters` steps.
-        float(carry)
+        with profile_trace(os.environ.get("NRSE_BENCH_PROFILE")):
+            for _ in range(iters):
+                loss, sim, carry = eval_step(state, ebatch, carry)
+            # Force a D2H fetch of the chain's final carry INSIDE the
+            # timed region: through the tunnel backend, block_until_ready
+            # returned before remote execution completed (measured
+            # 0.2 ms/step for a bs-36 dual-tower forward), while a data
+            # fetch cannot resolve until every chained step has actually
+            # run.  One scalar transfer amortized over `iters` steps.
+            float(carry)
         dt = (time.perf_counter() - t0) / iters
         audio_sec_per_sec = batch * clip_seconds / dt
         print(json.dumps({

@@ -74,6 +74,41 @@ class TargetNetwork(nn.Module):
         return proj, pooled
 
 
+class _OnlineHeads(nn.Module):
+    """Projector → predictor only, same submodule names as OnlineNetwork
+    so the online params/batch_stats subtrees apply directly.
+
+    Exists for the fused eval step: it lets the similarity readout and the
+    BYOL loss share ONE online-encoder forward per view (XLA does not CSE
+    the duplicated 24-layer scan; deduplicating it at the trace level cut
+    the measured serving step from 4 to 3 encoder passes)."""
+
+    projection_dim: int = 1024
+    prediction_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, pooled, deterministic: bool = True):
+        proj = ProjectionHead(
+            self.projection_dim, self.projection_dim, name="projector"
+        )(pooled, use_running_average=deterministic)
+        pred = PredictionHead(
+            self.prediction_dim, self.projection_dim, name="predictor"
+        )(proj, use_running_average=deterministic)
+        return pred, proj
+
+
+class _TargetHead(nn.Module):
+    """Projector only, named as in TargetNetwork (see _OnlineHeads)."""
+
+    projection_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, pooled, deterministic: bool = True):
+        return ProjectionHead(
+            self.projection_dim, self.projection_dim, name="projector"
+        )(pooled, use_running_average=deterministic)
+
+
 @dataclasses.dataclass
 class BYOLVariables:
     """All state of the dual-tower model (a pytree)."""
@@ -214,6 +249,43 @@ class BYOLSpeechModel:
         enc_vars = self.get_encoder_variables(variables)
         return WavLMModel(self.encoder_config).apply(
             enc_vars, input_values, attention_mask, deterministic
+        )
+
+    def encode_target(self, variables: BYOLVariables, input_values,
+                      attention_mask=None, deterministic: bool = True):
+        """Run only the target encoder → (sequence, pooled)."""
+        enc_vars = {
+            col: tree["encoder"]
+            for col, tree in variables.target.items()
+            if "encoder" in tree
+        }
+        return WavLMModel(self.encoder_config).apply(
+            enc_vars, input_values, attention_mask, deterministic
+        )
+
+    def online_heads(self, variables: BYOLVariables, pooled,
+                     deterministic: bool = True):
+        """Projector+predictor on a precomputed online pooled embedding →
+        ``(pred, proj)``.  Same math as the tail of ``OnlineNetwork``
+        (including its f32 cast); lets eval reuse one encoder forward for
+        both the loss and the similarity readout."""
+        head_vars = {
+            col: {k: tree[k] for k in ("projector", "predictor") if k in tree}
+            for col, tree in variables.online.items()
+        }
+        return _OnlineHeads(self.projection_dim, self.prediction_dim).apply(
+            head_vars, pooled.astype(jnp.float32), deterministic
+        )
+
+    def target_projector(self, variables: BYOLVariables, pooled,
+                         deterministic: bool = True):
+        """Projector on a precomputed target pooled embedding → proj."""
+        head_vars = {
+            col: {k: tree[k] for k in ("projector",) if k in tree}
+            for col, tree in variables.target.items()
+        }
+        return _TargetHead(self.projection_dim).apply(
+            head_vars, pooled.astype(jnp.float32), deterministic
         )
 
 

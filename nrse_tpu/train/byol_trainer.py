@@ -198,17 +198,30 @@ def make_byol_eval_step(model: BYOLSpeechModel,
             clean_views = batch["clean_input_values"]
             noisy_views = batch["noisy_input_values"]
 
-        pred, proj, _ = model.apply(
-            state.variables, clean_views, noisy_views, deterministic=True
+        # Three encoder forwards, each used twice where possible: XLA does
+        # NOT CSE the duplicated 24-layer scan, so the naive
+        # model.apply + 2×model.encode formulation ran FOUR (measured
+        # 0.225 s/step at bs 36; this one 3/4 of that).  Same math —
+        # online(clean) feeds both the predictor branch and the
+        # similarity; target(noisy) feeds the loss's projection — equal to
+        # the naive formulation to f32 ulp (fusion-order differences only;
+        # tests/test_eval_byol.py pins the closeness).
+        _, clean_emb = model.encode(state.variables, clean_views,
+                                    deterministic=True)
+        _, noisy_emb = model.encode(state.variables, noisy_views,
+                                    deterministic=True)
+        pred, _ = model.online_heads(state.variables, clean_emb,
+                                     deterministic=True)
+        _, tgt_pooled = model.encode_target(state.variables, noisy_views,
+                                            deterministic=True)
+        proj = jax.lax.stop_gradient(
+            model.target_projector(state.variables, tgt_pooled,
+                                   deterministic=True)
         )
         # per-sample [B] so the host can slice off loader padding rows
         # (ragged final batches repeat the last item) before averaging
         loss = byol_loss_per_sample(pred, proj)
 
-        _, clean_emb = model.encode(state.variables, clean_views,
-                                    deterministic=True)
-        _, noisy_emb = model.encode(state.variables, noisy_views,
-                                    deterministic=True)
         c = clean_emb / jnp.maximum(
             jnp.linalg.norm(clean_emb, axis=1, keepdims=True), 1e-10
         )

@@ -101,3 +101,37 @@ def test_visualize_embeddings_writes_png(setup, tmp_path):
     import os
 
     assert os.path.exists(path)
+
+
+def test_eval_step_matches_naive_formulation(setup):
+    """The deduplicated eval step (3 encoder forwards via
+    online_heads/encode_target/target_projector) must match the naive
+    model.apply + 2×model.encode formulation to f32 ulp — it is the same
+    math, reassociated only by fusion order."""
+    from nrse_tpu.audio.augment import make_byol_views
+    from nrse_tpu.models.byol import byol_loss_per_sample
+    from nrse_tpu.train.byol_trainer import make_byol_eval_step
+
+    model, state, _, _ = setup
+    rng = np.random.default_rng(7)
+    batch = {
+        "clean": jnp.asarray(rng.standard_normal((4, 16000)), jnp.float32),
+        "noise": jnp.asarray(
+            0.2 * rng.standard_normal((4, 16000)), jnp.float32),
+        "snr": jnp.asarray([0.0, 5.0, 10.0, 5.0]),
+    }
+    loss_new, sim_new = make_byol_eval_step(model)(state, batch)
+
+    cv, nv, _ = make_byol_views(batch["clean"], batch["noise"], batch["snr"])
+    pred, proj, _ = model.apply(state.variables, cv, nv, deterministic=True)
+    loss_old = byol_loss_per_sample(pred, proj)
+    _, ce = model.encode(state.variables, cv, deterministic=True)
+    _, ne = model.encode(state.variables, nv, deterministic=True)
+    c = ce / jnp.maximum(jnp.linalg.norm(ce, axis=1, keepdims=True), 1e-10)
+    n = ne / jnp.maximum(jnp.linalg.norm(ne, axis=1, keepdims=True), 1e-10)
+    sim_old = jnp.sum(c * n, axis=1)
+
+    np.testing.assert_allclose(np.asarray(loss_new), np.asarray(loss_old),
+                               atol=5e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(sim_new), np.asarray(sim_old),
+                               atol=5e-6, rtol=0)
