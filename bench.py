@@ -483,6 +483,7 @@ def main():
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
             remat={"0": False, "1": True, "ffn": "ffn", "dots": "dots",
+                   "attn+ln": "attn+ln",
                    "attn": "attn", "attn+ffn": "attn+ffn",
                    "light": "light"}.get(remat_env, False),
             scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),

@@ -90,7 +90,11 @@ class WavLMConfig:
     # | "attn+ffn" (recompute attention core AND FFN; projections + LNs
     # stay saved) | "light" (attn core + FFN + LayerNorms — saves only the
     # bf16 projections/residual stream; the HBM sweet spot at bs 36 where
-    # full-layer remat pays ~33% recompute and the others OOM)
+    # full-layer remat pays ~33% recompute and the others OOM) | "attn+ln"
+    # (attn core + LayerNorms rematted, FFN residuals KEPT — with the
+    # fused-FFN kernel those are compact (bf16 h1, PRNG-regenerated
+    # masks), so skipping the FFN-forward re-run in backward costs only
+    # ~2.7 GB over "light" while deleting its dominant recompute)
     remat: Any = False
     # layer-scan unroll factor (cross-layer fusion vs compile time)
     scan_unroll: int = 1
@@ -556,7 +560,7 @@ class GatedAttention(nn.Module):
             attn_fn = partial(
                 gated_bias_attention, score_dtype=cfg.score_dtype
             )
-            if cfg.remat in ("attn", "attn+ffn", "light"):
+            if cfg.remat in ("attn", "attn+ffn", "light", "attn+ln"):
                 # Recompute the [B, H, T, T] attention internals in the
                 # backward pass instead of saving them: they dominate scan
                 # residual HBM (~5 GB at bs 36 over 24 layers at T=249) yet
@@ -677,7 +681,7 @@ class EncoderLayer(nn.Module):
         # (6 × f32[L, B, T, C] ≈ 5.2 GB at bs 36), and recomputing a LN
         # from the saved bf16 carry is a trivial VPU pass.
         ln_cls = nn.remat(nn.LayerNorm, prevent_cse=False) \
-            if cfg.remat == "light" else nn.LayerNorm
+            if cfg.remat in ("light", "attn+ln") else nn.LayerNorm
         ln = partial(
             ln_cls, epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
             param_dtype=cfg.param_dtype,

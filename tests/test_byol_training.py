@@ -234,3 +234,43 @@ def test_train_step_attn_remat_with_layerdrop():
     state, metrics = step(state, raw_batch())
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+def test_attn_ln_remat_matches_noremat():
+    """remat='attn+ln' (attention-core + LayerNorm remat, FFN residuals
+    kept) must be a pure memory/schedule change: one train step from an
+    identical init must produce the same params as remat=False.  Same RNG
+    key → same dropout masks; the recomputed ops are the same f32 graph,
+    so any drift would indicate a residual-selection bug, not rounding."""
+    import optax
+
+    results = {}
+    for mode in (False, "attn+ln"):
+        # f32 compute + plain SGD so the post-step param delta IS −lr·grad:
+        # Adam's step-1 m/√ν normalisation turns the ~1e-7 reassociation
+        # noise of near-zero grads into ±lr sign flips, which would force a
+        # tolerance loose enough to mask a real residual-selection bug.
+        cfg = WavLMConfig.tiny(layerdrop=0.0, remat=mode,
+                               dtype=jnp.float32)
+        model = BYOLSpeechModel(
+            {"model": {"projection_dim": 32, "prediction_dim": 64,
+                       "ema_decay": 0.99}},
+            encoder_config=cfg,
+        )
+        opt = optax.sgd(1e-3)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.zeros((BATCH, T)), opt
+        )
+        step = make_byol_train_step(model, opt, donate=False)
+        state, metrics = step(state, raw_batch())
+        assert np.isfinite(float(metrics["loss"]))
+        results[mode] = (
+            float(metrics["loss"]),
+            jax.tree.map(np.asarray, state.variables.online["params"]),
+        )
+    loss_a, params_a = results[False]
+    loss_b, params_b = results["attn+ln"]
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7, rtol=1e-4),
+        params_a, params_b,
+    )
