@@ -352,6 +352,77 @@ def run_frontend_check():
     return results
 
 
+def run_dropout_check():
+    """On-device standalone hardware-PRNG dropout parity
+    (NRSE_BENCH_CHECK_ONLY=1).
+
+    CPU tests (tests/test_fused_dropout.py) cover the masked variant; this
+    closes the RNG loop Mosaic-compiled at the model's [B·T, C] site
+    shape: (a) RNG variant vs the masked variant fed
+    ``dump_dropout_mask`` output, fwd+grad (bit-exact regeneration);
+    (b) keep-rate statistics; (c) masked variant vs jnp oracle.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.ops.fused_dropout import (
+        dump_dropout_mask,
+        hw_dropout,
+        hw_dropout_masked,
+    )
+
+    n, c = 9216, 1024
+    p = 0.1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, c)), jnp.bfloat16)
+    seed = jnp.asarray([0x5EED, 0xD120], jnp.uint32)
+    results = {}
+
+    mask = jax.jit(dump_dropout_mask, static_argnums=(1, 2))(
+        seed, (n, c), p)
+    keep = float(jnp.mean(mask > 0))
+    results["keep_rate_err"] = abs(keep - (1 - p))
+    assert results["keep_rate_err"] < 0.01, f"keep rate off: {keep}"
+    print(f"# check: hw-dropout keep rate {keep:.4f} (target {1-p}) OK",
+          file=sys.stderr, flush=True)
+
+    def rel(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-3))
+
+    def compare(loss_a, loss_b, label, tol):
+        va, ga = jax.jit(jax.value_and_grad(loss_a))(x)
+        vb, gb = jax.jit(jax.value_and_grad(loss_b))(x)
+        worst = max(abs(float(va) - float(vb)) / abs(float(vb)),
+                    rel(ga, gb))
+        results[label] = worst
+        assert worst < tol, f"hw-dropout {label} FAILED on TPU: {worst}"
+        print(f"# check: hw-dropout {label} max rel err {worst:.2e} OK",
+              file=sys.stderr, flush=True)
+
+    compare(
+        lambda a: jnp.mean(hw_dropout(a, seed, p).astype(jnp.float32) ** 2),
+        lambda a: jnp.mean(hw_dropout_masked(a, mask)
+                           .astype(jnp.float32) ** 2),
+        "rng-vs-dumped-mask", 1e-6,
+    )
+    # tolerance is bf16-rounding-scale, NOT 0: XLA's algebraic simplifier
+    # elides the oracle's bf16 round-trip (convert(bf16)→convert(f32)
+    # pairs — the same trap documented for score_dtype), so the oracle
+    # effectively stays f32 while the kernel genuinely rounds its output
+    # to bf16 (measured 5.1e-5 on this seed)
+    compare(
+        lambda a: jnp.mean(hw_dropout_masked(a, mask)
+                           .astype(jnp.float32) ** 2),
+        lambda a: jnp.mean((a.astype(jnp.float32) * mask)
+                           .astype(jnp.bfloat16).astype(jnp.float32) ** 2),
+        "masked-vs-oracle", 1e-3,
+    )
+    return results
+
+
 def run_opt_check():
     """On-device fused AdamW+EMA parity (NRSE_BENCH_CHECK_ONLY=1).
 
@@ -432,18 +503,19 @@ def main():
         # NRSE_BENCH_CHECK_SEL picks a comma-separated subset (each kernel
         # family's compiles cost minutes through the TPU tunnel).
         sel = set(os.environ.get(
-            "NRSE_BENCH_CHECK_SEL", "flash,block,ffn,frontend,opt"
+            "NRSE_BENCH_CHECK_SEL", "flash,block,ffn,frontend,opt,drop"
         ).split(","))
         check = run_flash_check() if "flash" in sel else {}
         block_check = run_block_check() if "block" in sel else {}
         ffn_check = run_ffn_check() if "ffn" in sel else {}
         fe_check = run_frontend_check() if "frontend" in sel else {}
         opt_check = run_opt_check() if "opt" in sel else {}
+        drop_check = run_dropout_check() if "drop" in sel else {}
         print(json.dumps({
             "metric": "kernel on-TPU parity (fwd+grad max rel err)",
             "value": max(*check.values(), *block_check.values(),
                          *ffn_check.values(), *fe_check.values(),
-                         *opt_check.values()),
+                         *opt_check.values(), *drop_check.values()),
             "unit": "rel-err",
             "vs_baseline": 0,
             "per_T": {str(t): round(v, 6) for t, v in check.items()},
@@ -451,6 +523,7 @@ def main():
             "ffn": {k: round(v, 6) for k, v in ffn_check.items()},
             "frontend": {k: round(v, 6) for k, v in fe_check.items()},
             "opt": {k: round(v, 6) for k, v in opt_check.items()},
+            "drop": {k: round(v, 6) for k, v in drop_check.items()},
             "backend": jax.default_backend(),
         }))
         return
@@ -474,11 +547,11 @@ def main():
     iters = int(os.environ.get("NRSE_BENCH_ITERS", 10))
 
     if on_tpu:
-        # round-3 measured default: fused-FFN Pallas kernel + "light" remat
-        # (the kernel's bf16 h1 residual + in-kernel PRNG masks shrink the
-        # light-remat footprint that OOM'd with the XLA FFN in round 2) —
-        # 464.6 vs 460.0 for the round-2 default, back-to-back at ITERS=30
-        remat_env = os.environ.get("NRSE_BENCH_REMAT", "light")
+        # round-3 measured default: fused-FFN Pallas kernel + "attn+ln"
+        # remat (FFN residuals kept — the kernel's bf16 h1 + in-kernel
+        # PRNG masks are compact enough to skip the FFN-forward re-run
+        # that "light" pays) — 494.8 vs 486.2 for "light", ITERS=30
+        remat_env = os.environ.get("NRSE_BENCH_REMAT", "attn+ln")
         cfg = WavLMConfig.large(
             dtype=jnp.bfloat16,
             use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
@@ -505,6 +578,9 @@ def main():
             # in-kernel output dropout for the block attention kernel
             # (only meaningful with NRSE_BENCH_FLASH=1 at short T)
             attn_dropout_impl=os.environ.get("NRSE_BENCH_ADROP", "xla"),
+            # standalone hardware-PRNG dropout kernel for the per-layer
+            # attention-output + hidden dropout sites (ops/fused_dropout.py)
+            dropout_impl=os.environ.get("NRSE_BENCH_DROP", "kernel"),
         )
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)

@@ -146,6 +146,7 @@ class BYOLSpeechModel:
                 else None,
                 seq_pad_multiple=int(tpu_cfg.get("seq_pad_multiple", 1)),
                 attn_dropout_impl=tpu_cfg.get("attn_dropout_impl", "xla"),
+                dropout_impl=tpu_cfg.get("dropout_impl", "xla"),
             )
         self.encoder_config = encoder_config
         self.projection_dim = model_cfg.get("projection_dim", 1024)

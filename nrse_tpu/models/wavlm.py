@@ -173,6 +173,22 @@ class WavLMConfig:
     #              under model parallelism (per-shard streams would
     #              collide).
     attn_dropout_impl: str = "xla"
+    # the two remaining per-layer XLA dropout sites (attention output +
+    # post-attention hidden dropout; the FFN's two sites are already
+    # inside the fused-FFN kernel):
+    #   "xla"    — nn.Dropout (rbg bit generation + mask apply + a
+    #              [B,T,C] mask residual per site, ~7.6 ms+ of the 486
+    #              step profile, docs/round3_status.md §10);
+    #   "kernel" — ops/fused_dropout.py: in-kernel hardware-PRNG masks,
+    #              regenerated bit-exactly in backward (zero residuals).
+    #              Same Bernoulli semantics, kernel-private bitstream
+    #              (rbg precedent); the attention-output site applies
+    #              post-head-merge on [B,T,C] instead of [B,H,T,D] —
+    #              an elementwise iid mask is permutation-invariant in
+    #              distribution.  Falls back to "xla" on CPU (interpret
+    #              stubs the PRNG) and under model parallelism
+    #              (pallas_call does not partition under GSPMD).
+    dropout_impl: str = "xla"
     # pad the transformer stack's frame axis to a multiple of this (1 =
     # off).  5 s clips yield T=249 frames — NOT a multiple of the TPU's
     # 8-sublane tiling, so every [B,T,C]↔[B·T,C] boundary (the fused-FFN
@@ -572,8 +588,9 @@ class GatedAttention(nn.Module):
                 # LayerDrop (branches would save different residual sets).
                 attn_fn = jax.checkpoint(attn_fn, prevent_cse=False)
             out = attn_fn(q, k, v, gate, pos_bias, key_padding_mask)
-        if cfg.attention_dropout > 0.0 and not deterministic \
-                and not kernel_dropped:
+        want_drop = (cfg.attention_dropout > 0.0 and not deterministic
+                     and not kernel_dropped)
+        if want_drop and not _hw_dropout_active(cfg):
             # HF drops attention *probabilities*; with the factored/flash
             # path we drop the per-head outputs instead (documented
             # deviation — probability dropout would force materialising
@@ -585,7 +602,33 @@ class GatedAttention(nn.Module):
             )
 
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, c)
+        if want_drop and _hw_dropout_active(cfg):
+            # kernel site sits post-head-merge: the [B,T,C] last dim is a
+            # lane multiple (D=64 is not), and an elementwise iid mask is
+            # permutation-invariant in distribution
+            out = _hw_drop(self, out, cfg.attention_dropout)
         return dense(c, name="out_proj")(out)
+
+
+def _hw_dropout_active(cfg) -> bool:
+    """True when ops/fused_dropout.py handles the per-layer dropout sites
+    (see the ``WavLMConfig.dropout_impl`` comment for the fallbacks)."""
+    return cfg.dropout_impl == "kernel" and not _tp_active()
+
+
+def _hw_drop(module, x, p):
+    """``hw_dropout`` with the flax ``dropout`` rng stream; CPU feeds an
+    XLA-built mask to the masked kernel variant (same compute path —
+    interpret mode stubs the hardware PRNG)."""
+    from nrse_tpu.ops.fused_dropout import hw_dropout, hw_dropout_masked
+
+    key = module.make_rng("dropout")
+    if jax.default_backend() == "cpu":
+        mask = (jax.random.bernoulli(key, 1.0 - p, x.shape)
+                .astype(jnp.float32) / (1.0 - p))
+        return hw_dropout_masked(x, mask)
+    seed = jax.random.bits(key, (2,), jnp.uint32)
+    return hw_dropout(x, seed, p)
 
 
 def _tp_active() -> bool:
@@ -691,7 +734,13 @@ class EncoderLayer(nn.Module):
         ff_cls = nn.remat(FeedForward, prevent_cse=False, static_argnums=(2,)) \
             if cfg.remat in ("ffn", "attn+ffn", "light") else FeedForward
         ff = ff_cls(cfg, name="feed_forward")
-        drop = nn.Dropout(cfg.hidden_dropout)
+        if cfg.hidden_dropout > 0.0 and _hw_dropout_active(cfg):
+            def drop(y, deterministic):
+                return y if deterministic else _hw_drop(
+                    self, y, cfg.hidden_dropout
+                )
+        else:
+            drop = nn.Dropout(cfg.hidden_dropout)
 
         if cfg.do_stable_layer_norm:
             x = ln(name="layer_norm")(hidden).astype(cfg.dtype)

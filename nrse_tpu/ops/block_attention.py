@@ -458,7 +458,7 @@ def _tp_wrapped(b: int, h: int):
     mesh, data_ax, model_ax = ctx
     n_model = mesh.shape.get(model_ax, 1)
     n_data = mesh.shape.get(data_ax, 1)
-    if n_model <= 1:
+    if n_model <= 1 and n_data <= 1:
         return _block_core
     if h % n_model:
         raise ValueError(
@@ -541,8 +541,35 @@ def block_gated_attention(q, k, v, gate, pos_bias,
                 "is unsupported (per-shard PRNG streams would collide) — "
                 "use the XLA output dropout (attn_dropout_impl='xla')"
             )
-        out = _block_core_drop(q, k, v, gate4, bias_f32, mask_add,
-                               dropout_seed, p_drop)
+        from nrse_tpu.ops.fused_dropout import _dp_ctx
+
+        ctx = _dp_ctx(b)
+        if ctx is None:
+            out = _block_core_drop(q, k, v, gate4, bias_f32, mask_add,
+                                   dropout_seed, p_drop)
+        else:
+            # pure-DP mesh: shard_map over batch (pallas_call is opaque
+            # to GSPMD); per-shard seed mixing keeps masks iid across
+            # shards — same pattern as ops/fused_dropout.py
+            from jax.sharding import PartitionSpec as P
+
+            from nrse_tpu.ops import kernel_rng
+
+            dpmesh, data_ax = ctx
+            bspec = P(data_ax, None, None, None)
+
+            def _drop_body(q_, k_, v_, g_, bias_, m_, seed_):
+                idx = jax.lax.axis_index(data_ax).astype(jnp.uint32)
+                seed_ = seed_ ^ (jnp.uint32(kernel_rng.MIX_A) * (idx + 1))
+                return _block_core_drop(q_, k_, v_, g_, bias_, m_,
+                                        seed_, p_drop)
+
+            out = jax.shard_map(
+                _drop_body, mesh=dpmesh,
+                in_specs=(bspec, bspec, bspec, bspec, P(None, None, None),
+                          P(data_ax, None, None), P(None)),
+                out_specs=bspec, check_vma=False,
+            )(q, k, v, gate4, bias_f32, mask_add, dropout_seed)
     else:
         out = _tp_wrapped(b, h)(q, k, v, gate4, bias_f32, mask_add)
     if pad_t:

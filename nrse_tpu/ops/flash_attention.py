@@ -1001,7 +1001,7 @@ def _tp_wrapped_core(b: int, h: int, block_q: int, block_k: int):
     mesh, data_ax, model_ax = ctx
     n_model = mesh.shape.get(model_ax, 1)
     n_data = mesh.shape.get(data_ax, 1)
-    if n_model <= 1:
+    if n_model <= 1 and n_data <= 1:
         return lambda *args: _flash_core(*args, block_q, block_k)
     if h % n_model:
         raise ValueError(

@@ -198,14 +198,15 @@ def make_byol_eval_step(model: BYOLSpeechModel,
             clean_views = batch["clean_input_values"]
             noisy_views = batch["noisy_input_values"]
 
-        # Three encoder forwards, each used twice where possible: XLA does
-        # NOT CSE the duplicated 24-layer scan, so the naive
-        # model.apply + 2×model.encode formulation ran FOUR (measured
-        # 0.225 s/step at bs 36; this one 3/4 of that).  Same math —
-        # online(clean) feeds both the predictor branch and the
-        # similarity; target(noisy) feeds the loss's projection — equal to
-        # the naive formulation to f32 ulp (fusion-order differences only;
-        # tests/test_eval_byol.py pins the closeness).
+        # Three encoder forwards, each used once: online(clean) feeds both
+        # the predictor branch and the similarity; target(noisy) feeds the
+        # loss's projection.  A device profile of the compiled step shows
+        # exactly 3 encoder scans at 224.5 ms busy/step (bs 36) — and the
+        # same 0.225 s/step for the naive model.apply + 2×model.encode
+        # formulation, i.e. XLA already CSE'd the duplicated online(clean)
+        # scan there.  The explicit dedup is kept for trace clarity (no
+        # reliance on the CSE pass) and is equal to the naive formulation
+        # to f32 ulp (tests/test_eval_byol.py pins the closeness).
         _, clean_emb = model.encode(state.variables, clean_views,
                                     deterministic=True)
         _, noisy_emb = model.encode(state.variables, noisy_views,

@@ -204,3 +204,39 @@ def test_fused_ffn_training_mode_model_grads():
     leaves = jax.tree_util.tree_leaves(g1)
     assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in leaves)
     assert any(np.abs(np.asarray(l, np.float32)).max() > 0 for l in leaves)
+
+def test_fused_ffn_dp_shard_map_matches_single_device():
+    """Under a registered pure-DP mesh the deterministic fused FFN
+    shard_maps over batch with replicated weights; outputs and weight
+    grads (psum'd by shard_map's AD) must match the single-device kernel
+    to f32-accumulation tolerance."""
+    from nrse_tpu.ops.fused_ffn import fused_ffn
+    from nrse_tpu.parallel.mesh import make_mesh, set_flash_tp_mesh
+
+    rng = np.random.default_rng(11)
+    n, c, f = 16, 128, 256
+    x = jnp.asarray(rng.standard_normal((n, 4, c)), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.standard_normal((c, f)), jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal((f,)), jnp.float32)
+    w2 = jnp.asarray(0.1 * rng.standard_normal((f, c)), jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+    seed = jnp.zeros((2,), jnp.uint32)
+
+    def loss(x, w1, b1, w2, b2):
+        return jnp.mean(fused_ffn(x, w1, b1, w2, b2, seed, 0.0, 0.0) ** 2)
+
+    base_v, base_g = jax.value_and_grad(loss, argnums=(0, 1, 3))(
+        x, w1, b1, w2, b2)
+
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    set_flash_tp_mesh(mesh)
+    try:
+        dp_v, dp_g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 3)))(
+            x, w1, b1, w2, b2)
+    finally:
+        set_flash_tp_mesh(None)
+
+    np.testing.assert_allclose(float(dp_v), float(base_v), rtol=1e-6)
+    for a, b in zip(dp_g, base_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
