@@ -475,6 +475,240 @@ def run_opt_check():
     return errs
 
 
+def _tuned_large_config():
+    """WavLM-large encoder config with the round-3 measured-best kernel
+    knobs, each overridable via the NRSE_BENCH_* env matrix (shared by the
+    BYOL train/infer modes and the SER fine-tune/eval modes so every hot
+    loop runs the same shipped default encoder)."""
+    import jax.numpy as jnp
+
+    from nrse_tpu.models.wavlm import WavLMConfig
+
+    remat_env = os.environ.get("NRSE_BENCH_REMAT", "attn+ln")
+    return WavLMConfig.large(
+        dtype=jnp.bfloat16,
+        use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
+        remat={"0": False, "1": True, "ffn": "ffn", "dots": "dots",
+               "attn+ln": "attn+ln",
+               "attn": "attn", "attn+ffn": "attn+ffn",
+               "light": "light"}.get(remat_env, False),
+        scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
+        frontend_norm=os.environ.get("NRSE_BENCH_FNORM", "mxu"),
+        frontend_conv=os.environ.get("NRSE_BENCH_FCONV", "matmul0"),
+        ffn_impl=os.environ.get("NRSE_BENCH_FFN", "fused"),
+        score_dtype={"f32": None, "bf16": jnp.bfloat16}[
+            os.environ.get("NRSE_BENCH_SCOREDT", "bf16")],
+        seq_pad_multiple=int(os.environ.get("NRSE_BENCH_SEQPAD", "128")),
+        attn_dropout_impl=os.environ.get("NRSE_BENCH_ADROP", "xla"),
+        dropout_impl=os.environ.get("NRSE_BENCH_DROP", "kernel"),
+    )
+
+
+# reference baseline e2e SER fine-tune: 1.89 it/s at bs 32 / accum 4
+# (dev.ipynb cell 39, `run_train_e2e.sh` log 2025-05-03; BASELINE.md)
+SER_TRAIN_BASELINE_ITS = 1.89
+
+
+def run_emotion_train_bench():
+    """NRSE_BENCH_MODE=emotion: the reference's SECOND hot loop — the
+    baseline e2e categorical SER fine-tune micro-step (WavLM-large fwd+bwd
+    + masked ASP pooling + EmotionRegression head, weighted CE, gradient
+    accumulation via optax.MultiSteps), reference geometry bs 32 × ≤10 s
+    / accum 4 (`/root/reference/baseline/run_train_e2e.sh`).  Metric is
+    it/s against the reference's measured 1.89 it/s (dev.ipynb cell 39).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nrse_tpu.baseline.pipeline import BaselineSER
+    from nrse_tpu.models.wavlm import WavLMConfig
+    from nrse_tpu.train.losses import ce_weight_category
+
+    on_tpu = jax.default_backend() != "cpu"
+    batch = int(os.environ.get("NRSE_BENCH_BATCH", 32))
+    seconds = float(os.environ.get("NRSE_BENCH_SECONDS", 10.0))
+    accum = int(os.environ.get("NRSE_BENCH_ACCUM", 4))
+    freeze = os.environ.get("NRSE_BENCH_FREEZE", "0") == "1"
+    warmup = int(os.environ.get("NRSE_BENCH_WARMUP", 3))
+    iters = int(os.environ.get("NRSE_BENCH_ITERS", 20))
+    if on_tpu:
+        cfg = _tuned_large_config()
+    else:  # CPU plumbing smoke only
+        cfg = WavLMConfig.tiny(layerdrop=0.0)
+        batch, seconds = min(batch, 4), min(seconds, 1.0)
+    t = int(16000 * seconds)
+
+    model = BaselineSER(cfg, head_dim=1024)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, t)),
+        jnp.ones((2, t)),
+    )["params"]
+    base_opt = optax.adamw(5e-6)
+    optimizer = optax.MultiSteps(base_opt, every_k_schedule=accum)
+    opt_state = optimizer.init(params)
+
+    # reference class weights shape: total/(K·freq) over the 8 Odyssey
+    # classes — any fixed non-uniform vector exercises the same compute
+    w = jnp.asarray([2.1, 3.4, 0.6, 0.9, 4.2, 5.1, 1.7, 0.4], jnp.float32)
+
+    def loss_fn(params, batch_d, rng):
+        logits = model.apply(
+            {"params": params}, batch_d["input_values"],
+            batch_d["attention_mask"], deterministic=False,
+            rngs={"dropout": rng,
+                  "layerdrop": jax.random.fold_in(rng, 1),
+                  "spec_augment": jax.random.fold_in(rng, 2)},
+        )
+        return ce_weight_category(logits, batch_d["label"], w)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch_d, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch_d, rng)
+        if freeze:
+            grads = {**grads,
+                     "ssl": jax.tree.map(jnp.zeros_like, grads["ssl"])}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # variable valid lengths inside the fixed [B, T] pad, like the real
+    # MSP-Podcast batches the baseline trainer feeds (masked ASP engages)
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(int(0.3 * t), t + 1, batch)
+    x = rng.standard_normal((batch, t)).astype(np.float32)
+    mask = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+    batch_d = {
+        "input_values": jnp.asarray(x * mask),
+        "attention_mask": jnp.asarray(mask),
+        "label": jnp.asarray(rng.integers(0, 8, batch), jnp.int32),
+    }
+    root = jax.random.PRNGKey(7)
+
+    print(f"# bench[emotion]: backend={jax.default_backend()} bs={batch} "
+          f"{seconds}s accum={accum} freeze={freeze}",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    step = 0
+    for i in range(warmup):
+        params, opt_state, loss = train_step(
+            params, opt_state, batch_d, jax.random.fold_in(root, step))
+        step += 1
+        # D2H fetch: through the TPU tunnel, block_until_ready can return
+        # before remote execution completes — a data fetch cannot
+        print(f"# bench[emotion]: warmup {i} at "
+              f"+{time.perf_counter()-t0:.1f}s (loss={float(loss):.4f})",
+              file=sys.stderr, flush=True)
+
+    from nrse_tpu.utils.profiling import profile_trace
+
+    t0 = time.perf_counter()
+    with profile_trace(os.environ.get("NRSE_BENCH_PROFILE")):
+        for _ in range(iters):
+            params, opt_state, loss = train_step(
+                params, opt_state, batch_d, jax.random.fold_in(root, step))
+            step += 1
+        final_loss = float(loss)  # D2H fence ends the timed region
+    dt = (time.perf_counter() - t0) / iters
+    its = 1.0 / dt
+    print(json.dumps({
+        "metric": "baseline e2e SER fine-tune step rate (WavLM-large + ASP "
+                  "+ head, bs%d, %gs, accum %d%s)"
+                  % (batch, seconds, accum, ", frozen SSL" if freeze else "")
+                  if on_tpu else "SER fine-tune step rate (tiny CPU smoke)",
+        "value": round(its, 3),
+        "unit": "it/s",
+        "vs_baseline": round(its / SER_TRAIN_BASELINE_ITS, 3),
+        "step_time_s": round(dt, 4),
+        "audio_sec_per_sec": round(batch * seconds * its, 1),
+        "loss": final_loss,
+        "backend": jax.default_backend(),
+    }))
+
+
+def run_ser_eval_bench():
+    """NRSE_BENCH_MODE=sereval: the baseline evaluator's
+    inference-time-per-audio-second metric
+    (`/root/reference/baseline/eval_cat_ser_weighted_with_list.py:383-385`)
+    on the chip — bucketed batched ssl→pool→ser inference over a synthetic
+    variable-length list, through the SAME timed code path the evaluator
+    CLI uses (`nrse_tpu/baseline/eval_cat_ser.py::bucketed_forward_timed`).
+    The reference records no value for this metric (BASELINE.md gap), so
+    vs_baseline reports the derived audio-sec/sec against the reference's
+    measured BYOL validation serving rate (≈234) for scale only.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.baseline.eval_cat_ser import bucketed_forward_timed
+    from nrse_tpu.baseline.pipeline import (
+        BaselineSER,
+        bucket_length,
+        make_baseline_forward,
+    )
+    from nrse_tpu.models.wavlm import WavLMConfig
+
+    on_tpu = jax.default_backend() != "cpu"
+    batch = int(os.environ.get("NRSE_BENCH_BATCH", 32))
+    n_files = int(os.environ.get("NRSE_BENCH_EVAL_N", 256))
+    if on_tpu:
+        cfg = _tuned_large_config()
+    else:
+        cfg = WavLMConfig.tiny(layerdrop=0.0)
+        batch, n_files = min(batch, 4), min(n_files, 12)
+
+    model = BaselineSER(cfg, head_dim=1024)
+    t_init = int(16000 * (1.0 if not on_tpu else 5.0))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, t_init)),
+        jnp.ones((2, t_init)),
+    )["params"]
+    forward = make_baseline_forward(model)
+
+    # synthetic MSP-Podcast-like length distribution: 2–11.5 s clips ⇒
+    # 5 s / 10 s / 15 s buckets (the evaluator pads to 5 s buckets, 30 s cap)
+    rng = np.random.default_rng(0)
+    lo, hi = (2.0, 11.5) if on_tpu else (0.3, 0.9)
+
+    class _E:  # minimal label-list entry (path, emotion) for the shared path
+        __slots__ = ("path", "emotion")
+
+        def __init__(self, i):
+            self.path = f"synthetic_{i:05d}.wav"
+            self.emotion = int(rng.integers(0, 8))
+
+    loaded = []
+    for i in range(n_files):
+        n = int(rng.uniform(lo, hi) * 16000)
+        loaded.append((_E(i), rng.standard_normal(n).astype(np.float32)))
+
+    n_buckets = len({bucket_length(len(w)) for _, w in loaded})
+    print(f"# bench[sereval]: backend={jax.default_backend()} bs={batch} "
+          f"files={n_files} buckets={n_buckets}", file=sys.stderr, flush=True)
+    results, inference_time, audio_seconds = bucketed_forward_timed(
+        forward, params, loaded, batch, warmup_shapes=True)
+    tpas = inference_time / max(audio_seconds, 1e-9)
+    audio_sec_per_sec = audio_seconds / max(inference_time, 1e-9)
+    print(json.dumps({
+        "metric": "baseline SER evaluator inference time per audio second "
+                  "(WavLM-large + ASP + head, bucketed bs%d, %d files)"
+                  % (batch, n_files)
+                  if on_tpu else "SER evaluator (tiny CPU smoke)",
+        "value": round(tpas, 6),
+        "unit": "sec/audio-sec (lower is better)",
+        "vs_baseline": round(audio_sec_per_sec / INFER_BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "audio_sec_per_sec": round(audio_sec_per_sec, 1),
+        "inference_time_s": round(inference_time, 3),
+        "audio_seconds": round(audio_seconds, 1),
+        "n_results": len(results),
+        "backend": jax.default_backend(),
+    }))
+
+
 def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
     """Generate (once) a WAV corpus at /tmp for the data-fed bench mode
     (delegates to the shared structured generator in data/synthetic.py)."""
@@ -489,7 +723,17 @@ def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nrse_jax_cache_tpu")
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the environment's TPU plugin force-selects itself via jax.config
+        # at interpreter start, overriding the env var — pin the config too
+        # so CPU smoke runs never dial the TPU tunnel (same trap as
+        # tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/nrse_jax_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/nrse_jax_cache_tpu")
     # Dropout PRNG implementation.  The profile (tools/analyze_profile.py)
     # shows threefry mask generation fused into the FFN matmuls costing
     # ~half their runtime (72 TFLOP/s effective on a 159 GFLOP fusion);
@@ -498,6 +742,12 @@ def main():
     rng_impl = os.environ.get("NRSE_BENCH_RNG", "rbg")
     if rng_impl and rng_impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", rng_impl)
+
+    mode = os.environ.get("NRSE_BENCH_MODE", "train")
+    if mode == "emotion":
+        return run_emotion_train_bench()
+    if mode == "sereval":
+        return run_ser_eval_bench()
 
     if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":
         # NRSE_BENCH_CHECK_SEL picks a comma-separated subset (each kernel
@@ -547,41 +797,12 @@ def main():
     iters = int(os.environ.get("NRSE_BENCH_ITERS", 10))
 
     if on_tpu:
-        # round-3 measured default: fused-FFN Pallas kernel + "attn+ln"
-        # remat (FFN residuals kept — the kernel's bf16 h1 + in-kernel
-        # PRNG masks are compact enough to skip the FFN-forward re-run
-        # that "light" pays) — 494.8 vs 486.2 for "light", ITERS=30
-        remat_env = os.environ.get("NRSE_BENCH_REMAT", "attn+ln")
-        cfg = WavLMConfig.large(
-            dtype=jnp.bfloat16,
-            use_flash_attention=os.environ.get("NRSE_BENCH_FLASH", "0") == "1",
-            remat={"0": False, "1": True, "ffn": "ffn", "dots": "dots",
-                   "attn+ln": "attn+ln",
-                   "attn": "attn", "attn+ffn": "attn+ffn",
-                   "light": "light"}.get(remat_env, False),
-            scan_unroll=int(os.environ.get("NRSE_BENCH_UNROLL", "1")),
-            frontend_norm=os.environ.get("NRSE_BENCH_FNORM", "mxu"),
-            # matmul0: single-dot im2col for the raw-audio k=10/s=5 conv
-            # (layer 0 only) — 476.1 vs 472.5 alone, part of the 486.3
-            # measured-best combo (docs/round3_status.md §9)
-            frontend_conv=os.environ.get("NRSE_BENCH_FCONV", "matmul0"),
-            ffn_impl=os.environ.get("NRSE_BENCH_FFN", "fused"),
-            # bf16 storage for the attention score/prob tensors: 472.7 vs
-            # 464.6 at ITERS=30, back-to-back (docs/round3_status.md §6)
-            score_dtype={"f32": None, "bf16": jnp.bfloat16}[
-                os.environ.get("NRSE_BENCH_SCOREDT", "bf16")],
-            # tile-align the frame axis (249→256 at 5 s): the fused-FFN
-            # flatten and its pad/slice become free bitcasts (~6 ms/step of
-            # repack glue in the round-3 profile) — 482.8 vs 472.5 alone,
-            # part of the 486.3 measured-best combo
-            seq_pad_multiple=int(os.environ.get("NRSE_BENCH_SEQPAD", "128")),
-            # in-kernel output dropout for the block attention kernel
-            # (only meaningful with NRSE_BENCH_FLASH=1 at short T)
-            attn_dropout_impl=os.environ.get("NRSE_BENCH_ADROP", "xla"),
-            # standalone hardware-PRNG dropout kernel for the per-layer
-            # attention-output + hidden dropout sites (ops/fused_dropout.py)
-            dropout_impl=os.environ.get("NRSE_BENCH_DROP", "kernel"),
-        )
+        # round-3 measured default (rationale per knob in
+        # docs/round3_status.md §6/§9/§11): fused-FFN Pallas kernel,
+        # "attn+ln" remat (FFN residuals kept — 494.8 vs 486.2 "light"),
+        # bf16 score storage, seq-pad 128, im2col layer-0 conv, hw-PRNG
+        # dropout kernel, MXU frontend LN
+        cfg = _tuned_large_config()
     else:  # CPU smoke mode for plumbing checks only
         cfg = WavLMConfig.tiny(layerdrop=0.0)
         batch = min(batch, 8)

@@ -23,6 +23,7 @@ all-gather/reduce-scatter over ``model`` for TP matmuls) and rides ICI.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -97,6 +98,26 @@ def set_flash_tp_mesh(mesh: Optional[Mesh], data_axis: str = "data",
 def get_flash_tp_mesh():
     """The registered (mesh, data_axis, model_axis), or None."""
     return _FLASH_TP
+
+
+@contextlib.contextmanager
+def flash_tp_mesh_scope(mesh: Optional[Mesh], data_axis: str = "data",
+                        model_axis: str = "model"):
+    """Scoped registration: restores the previous registry value on exit.
+
+    Entry points (trainer ``main``s, bench loops) MUST use this instead of
+    a bare ``set_flash_tp_mesh`` — the registry is process-global, and a
+    leaked mesh silently changes Pallas-kernel dispatch for every later
+    caller (e.g. a library user who runs a trainer and then evaluates a
+    model under a different mesh context would inherit stale shard_maps
+    and batch-divisibility errors)."""
+    global _FLASH_TP
+    prev = _FLASH_TP
+    set_flash_tp_mesh(mesh, data_axis, model_axis)
+    try:
+        yield
+    finally:
+        _FLASH_TP = prev
 
 
 def tp_model_parallel() -> bool:

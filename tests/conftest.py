@@ -30,6 +30,22 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _reset_flash_tp_mesh():
+    """Belt-and-braces: the Pallas-kernel mesh registry is process-global;
+    a test (or an entry-point ``main`` a test calls) that leaks a
+    registration would silently change kernel dispatch for every later
+    test (round-3 regression: ``train_byol.main`` leaked a ``data=8`` mesh
+    and failed 10 unrelated flash-attention tests).  Entry points are now
+    scoped (``flash_tp_mesh_scope``); this fixture guarantees isolation
+    regardless."""
+    from nrse_tpu.parallel import mesh as mesh_mod
+
+    prev = mesh_mod.get_flash_tp_mesh()
+    yield
+    mesh_mod._FLASH_TP = prev
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

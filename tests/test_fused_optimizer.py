@@ -119,6 +119,47 @@ def test_matches_optax_chain(grad_scale):
     assert_trees_close(fus_adam.nu, ref_adam.nu, 1e-4, "nu")
 
 
+def test_fused_optimizer_dp_mesh_matches_single_device():
+    """Under a registered pure-DP mesh (data>1, model==1 — the pod config
+    the shipped default preset meets) params/opt state are replicated, so
+    the fused kernel executes replicated per device; the update must match
+    the unmeshed kernel exactly.  Pins `dryrun_multichip`'s pure-DP leg
+    running `optimizer_impl: fused` (round-3 verdict item 4)."""
+    from nrse_tpu.parallel.mesh import (
+        make_mesh,
+        replicated_sharding,
+        set_flash_tp_mesh,
+    )
+
+    schedule = cosine_annealing(3e-4, 50)
+    spec = FusedAdamWSpec(schedule=schedule, weight_decay=0.01,
+                          ema_decay=EMA)
+    optimizer = make_byol_optimizer(schedule, weight_decay=0.01,
+                                    total_steps=50)
+    params, target = make_tree(seed=3)
+    opt_state = optimizer.init(params)
+    grads = grads_like(params, 17)
+
+    base = fused_adamw_ema_update(grads, params, opt_state, target, spec)
+
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    rsh = replicated_sharding(mesh)
+    put = lambda tree: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(x, rsh), tree)
+    set_flash_tp_mesh(mesh)
+    try:
+        step = jax.jit(lambda g, p, s, t: fused_adamw_ema_update(
+            g, p, s, t, spec))
+        dp = step(put(grads), put(params), put(opt_state), put(target))
+    finally:
+        set_flash_tp_mesh(None)
+
+    assert_trees_close(dp[0], base[0], 1e-6, "params")
+    assert_trees_close(dp[2], base[2], 1e-6, "target")
+    assert_trees_close(dp[1][1][0].mu, base[1][1][0].mu, 1e-6, "mu")
+    assert_trees_close(dp[1][1][0].nu, base[1][1][0].nu, 1e-6, "nu")
+
+
 def test_mu_dtype_bf16():
     schedule = 1e-3
     optimizer = make_byol_optimizer(schedule, weight_decay=0.0,

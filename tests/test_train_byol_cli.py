@@ -63,6 +63,35 @@ def test_train_byol_cli_resume(byol_cfg):
     assert "best" in meta  # best-so-far metrics persisted
 
 
+def test_main_does_not_leak_mesh_registry(byol_cfg):
+    """Round-3 regression: ``train_byol.main`` registered the process-global
+    Pallas mesh and never cleared it, so any later flash-attention call in
+    the same process inherited a stale ``data=8`` mesh and died on batch
+    divisibility (10/239 stock-suite failures).  ``main`` is now scoped
+    via ``flash_tp_mesh_scope``; this pins it: run the trainer, then make
+    a bare flash call with a batch that does NOT divide 8."""
+    import jax.numpy as jnp
+
+    import train_byol
+    from nrse_tpu.ops.flash_attention import flash_gated_attention
+    from nrse_tpu.parallel.mesh import get_flash_tp_mesh
+
+    path, _ = byol_cfg
+    train_byol.main(["--config", path, "--device", "cpu"])
+    assert get_flash_tp_mesh() is None, (
+        "train_byol.main leaked the global flash/TP mesh registry"
+    )
+    # batch=3 is indivisible by the 8-wide virtual mesh main used — this
+    # call only works if the registry was actually cleared
+    b, h, t, d = 3, 4, 16, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    gate = jnp.ones((b, h, t), jnp.float32)
+    bias = jnp.zeros((h, 2 * t), jnp.float32)
+    out = flash_gated_attention(q, q, q, gate, bias)
+    assert out.shape == q.shape
+
+
 def test_batch_size_mesh_validation(byol_cfg, tmp_path):
     import train_byol
 
