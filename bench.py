@@ -501,6 +501,8 @@ def _tuned_large_config():
         seq_pad_multiple=int(os.environ.get("NRSE_BENCH_SEQPAD", "128")),
         attn_dropout_impl=os.environ.get("NRSE_BENCH_ADROP", "xla"),
         dropout_impl=os.environ.get("NRSE_BENCH_DROP", "kernel"),
+        qkv_impl=os.environ.get("NRSE_BENCH_QKV", "xla"),
+        frontend_remat=os.environ.get("NRSE_BENCH_FREMAT", "0") == "1",
     )
 
 
@@ -534,7 +536,19 @@ def run_emotion_train_bench():
     warmup = int(os.environ.get("NRSE_BENCH_WARMUP", 3))
     iters = int(os.environ.get("NRSE_BENCH_ITERS", 20))
     if on_tpu:
-        cfg = _tuned_large_config()
+        import dataclasses
+
+        # the 10 s × bs 32 e2e geometry needs the conv-frontend activations
+        # rematted (and its residual set trimmed to "light") to fit HBM;
+        # both knobs remain overridable via the env matrix
+        cfg = dataclasses.replace(
+            _tuned_large_config(),
+            frontend_remat=os.environ.get("NRSE_BENCH_FREMAT", "1") == "1",
+            remat={"0": False, "1": True, "ffn": "ffn", "dots": "dots",
+                   "attn+ln": "attn+ln", "attn": "attn",
+                   "attn+ffn": "attn+ffn", "light": "light"}.get(
+                       os.environ.get("NRSE_BENCH_REMAT", "light"), "light"),
+        )
     else:  # CPU plumbing smoke only
         cfg = WavLMConfig.tiny(layerdrop=0.0)
         batch, seconds = min(batch, 4), min(seconds, 1.0)

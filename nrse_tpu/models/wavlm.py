@@ -189,6 +189,26 @@ class WavLMConfig:
     #              stubs the PRNG) and under model parallelism
     #              (pallas_call does not partition under GSPMD).
     dropout_impl: str = "xla"
+    # attention input-projection formulation:
+    #   "xla"   — four separate nn.Dense dots (q/k/v from hidden, the
+    #             8-wide rel-pos gate from the per-head reshape);
+    #   "fused" — one [C, 3C+8H] dot: the q/k/v kernels concatenated with
+    #             a block-diagonal embedding of the shared [D,8] gate
+    #             kernel, so the layer input is read from HBM once instead
+    #             of four times and XLA sees a single aligned MXU dot
+    #             (3200 output lanes = 25×128 tiles) in fwd, one dx dot
+    #             and one dW dot in bwd.  Identical parameter tree (the
+    #             per-projection tensors are concatenated at apply time);
+    #             adds ~4% FLOPs on the qkv dot for the zero block-diag
+    #             columns.  Exact same math — zeros contribute exactly 0.
+    qkv_impl: str = "xla"
+    # rematerialise the conv feature encoder in backward: its activations
+    # dominate residual HBM for long clips (layer-0 alone is
+    # [B, T/5, 512] ≈ 1 GB bf16 at bs 32 × 10 s) yet the frontend is only
+    # a few % of step FLOPs.  Needed for the reference baseline's e2e SER
+    # fine-tune geometry (bs 32 × ≤10 s, frontend unfrozen per
+    # run_train_e2e.sh --freeze_ssl=False) to fit v5e HBM.
+    frontend_remat: bool = False
     # pad the transformer stack's frame axis to a multiple of this (1 =
     # off).  5 s clips yield T=249 frames — NOT a multiple of the TPU's
     # 8-sublane tiling, so every [B,T,C]↔[B·T,C] boundary (the fused-FFN
@@ -495,6 +515,27 @@ class PositionalConvEmbedding(nn.Module):
         return jnp.transpose(out, (0, 2, 1))
 
 
+class _DenseParams(nn.Module):
+    """Declare an ``nn.Dense``-identical param subtree ({kernel, bias})
+    without running its dot — lets the fused-qkv path own the matmul while
+    keeping the exact checkpoint layout of the four separate projections."""
+
+    in_features: int
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
 class GatedAttention(nn.Module):
     """Self-attention with WavLM's gated relative position bias."""
 
@@ -513,14 +554,39 @@ class GatedAttention(nn.Module):
         def split_heads(x):
             return jnp.transpose(x.reshape(b, t, h, d), (0, 2, 1, 3))
 
-        q = split_heads(dense(c, name="q_proj")(hidden))
-        k = split_heads(dense(c, name="k_proj")(hidden))
-        v = split_heads(dense(c, name="v_proj")(hidden))
+        if cfg.qkv_impl == "fused":
+            # One [C, 3C+8H] dot: q|k|v kernels side by side, the shared
+            # [D, 8] gate kernel embedded block-diagonally (row i·D+d_,
+            # col 3C+i·8+j holds gate_kernel[d_, j]) — the gate math is
+            # identical because the off-block zeros contribute exactly 0.
+            wq, bq = _DenseParams(c, c, cfg.param_dtype, name="q_proj")()
+            wk, bk = _DenseParams(c, c, cfg.param_dtype, name="k_proj")()
+            wv, bv = _DenseParams(c, c, cfg.param_dtype, name="v_proj")()
+            wg, bg = _DenseParams(
+                d, 8, cfg.param_dtype, name="gru_rel_pos_linear")()
+            eye = jnp.eye(h, dtype=wg.dtype)
+            gate_block = (eye[:, None, :, None]
+                          * wg[None, :, None, :]).reshape(c, h * 8)
+            w_all = jnp.concatenate(
+                [wq, wk, wv, gate_block], axis=1).astype(cfg.dtype)
+            b_all = jnp.concatenate(
+                [bq, bk, bv, jnp.tile(bg, h)]).astype(cfg.dtype)
+            fused = hidden.astype(cfg.dtype) @ w_all + b_all
+            q = split_heads(fused[..., :c])
+            k = split_heads(fused[..., c:2 * c])
+            v = split_heads(fused[..., 2 * c:3 * c])
+            proj = jnp.transpose(
+                fused[..., 3 * c:].reshape(b, t, h, 8), (0, 2, 1, 3)
+            )
+        else:
+            q = split_heads(dense(c, name="q_proj")(hidden))
+            k = split_heads(dense(c, name="k_proj")(hidden))
+            v = split_heads(dense(c, name="v_proj")(hidden))
 
-        # Per-(batch, head, query) gate computed from the attention input
-        # (not the q projection) — HF WavLMAttention semantics.
-        gh = jnp.transpose(hidden.reshape(b, t, h, d), (0, 2, 1, 3))
-        proj = dense(8, name="gru_rel_pos_linear")(gh)  # [B, H, T, 8]
+            # Per-(batch, head, query) gate computed from the attention
+            # input (not the q projection) — HF WavLMAttention semantics.
+            gh = jnp.transpose(hidden.reshape(b, t, h, d), (0, 2, 1, 3))
+            proj = dense(8, name="gru_rel_pos_linear")(gh)  # [B, H, T, 8]
         proj = proj.reshape(b, h, t, 2, 4).sum(-1)
         gates = jax.nn.sigmoid(proj.astype(jnp.float32))
         gate_a, gate_b = gates[..., 0], gates[..., 1]
@@ -903,7 +969,10 @@ class WavLMModel(nn.Module):
         if input_values.ndim == 3:  # [B, 1, T] parity (encoder.py:20-22)
             input_values = input_values[:, 0, :]
 
-        feats = ConvFeatureEncoder(cfg, name="feature_extractor")(input_values)
+        fe_cls = ConvFeatureEncoder
+        if cfg.frontend_remat:
+            fe_cls = nn.remat(ConvFeatureEncoder, prevent_cse=False)
+        feats = fe_cls(cfg, name="feature_extractor")(input_values)
         t_frames = feats.shape[1]
 
         frame_mask = None
