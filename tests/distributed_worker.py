@@ -137,7 +137,83 @@ def run_e2e(corpus: str, workdir: str):
     print(f"E2E_OK pid={pid}", flush=True)
 
 
+def run_pallas_dp():
+    """Multi-process × shard_mapped Pallas kernel (VERDICT r3 item 7).
+
+    The fused-FFN kernel shard_maps over the GLOBAL data axis
+    (``ops/fused_ffn.py::fused_ffn``); under a 2-process cluster each
+    process executes its local shards and shard_map's AD psums the
+    replicated weights' cotangents across processes.  Deterministic path
+    (CPU interpret stubs the PRNG): loss, weight grads (replicated) and
+    the local x-grad shards must match a process-local single-device run
+    bit-for-tolerance.  The dropout seed mixing uses
+    ``jax.lax.axis_index('data')`` — by jax semantics the *global* index
+    along the mesh axis, so per-shard PRNG streams stay distinct across
+    hosts exactly as in the single-process 8-device dryrun."""
+    from nrse_tpu.parallel.distributed import initialize
+
+    initialize(f"127.0.0.1:{port}", nproc, pid)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nrse_tpu.ops.fused_ffn import fused_ffn
+    from nrse_tpu.parallel.mesh import flash_tp_mesh_scope, make_mesh
+
+    n_dev = 2 * nproc
+    assert len(jax.devices()) == n_dev
+    rng = np.random.default_rng(11)
+    n, c, f = 4 * n_dev, 128, 256
+    x = rng.standard_normal((n, 4, c)).astype(np.float32)
+    w1 = (0.1 * rng.standard_normal((c, f))).astype(np.float32)
+    b1 = (0.1 * rng.standard_normal((f,))).astype(np.float32)
+    w2 = (0.1 * rng.standard_normal((f, c))).astype(np.float32)
+    b2 = (0.1 * rng.standard_normal((c,))).astype(np.float32)
+    seed = jnp.zeros((2,), jnp.uint32)
+
+    def loss(x, w1, b1, w2, b2):
+        return jnp.mean(fused_ffn(x, w1, b1, w2, b2, seed, 0.0, 0.0) ** 2)
+
+    # process-local single-device reference (no mesh registered)
+    base_v, base_g = jax.value_and_grad(loss, argnums=(0, 1, 3))(
+        jnp.asarray(x), jnp.asarray(w1), jnp.asarray(b1),
+        jnp.asarray(w2), jnp.asarray(b2))
+
+    mesh = make_mesh(data=-1, model=1)  # global DP mesh across processes
+    rows_per_proc = n // nproc
+    lo = pid * rows_per_proc
+    xspec = NamedSharding(mesh, P("data", None, None))
+    rep = NamedSharding(mesh, P())
+    gx = jax.make_array_from_process_local_data(
+        xspec, x[lo:lo + rows_per_proc])
+    gw1, gb1, gw2, gb2 = (
+        jax.make_array_from_process_local_data(rep, a)
+        for a in (w1, b1, w2, b2)
+    )
+    with flash_tp_mesh_scope(mesh):
+        dp_v, dp_g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 3)))(
+            gx, gw1, gb1, gw2, gb2)
+
+    assert abs(float(dp_v) - float(base_v)) < 1e-6 * abs(float(base_v))
+    # replicated weight grads: psum'd across BOTH processes by shard_map AD
+    np.testing.assert_allclose(np.asarray(dp_g[1]), np.asarray(base_g[1]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_g[2]), np.asarray(base_g[2]),
+                               rtol=1e-5, atol=1e-6)
+    # x-grad is data-sharded: check this process's addressable shards
+    for shard in dp_g[0].addressable_shards:
+        r0 = shard.index[0].start or 0
+        np.testing.assert_allclose(
+            np.asarray(shard.data),
+            np.asarray(base_g[0][r0:r0 + shard.data.shape[0]]),
+            rtol=1e-5, atol=1e-6)
+    print(f"PALLAS_OK pid={pid} loss={float(dp_v):.6f}", flush=True)
+
+
 if mode == "e2e":
     run_e2e(sys.argv[5], sys.argv[6])
+elif mode == "pallas":
+    run_pallas_dp()
 else:
     run_step_smoke()

@@ -71,6 +71,30 @@ def test_single_process_helpers_are_identity():
     assert broadcast_scalar(3.0) == 3.0
 
 
+def test_two_process_pallas_dp_kernel():
+    """2-process cluster × shard_mapped fused-FFN Pallas kernel under the
+    global DP mesh (VERDICT r3 item 7): loss, psum'd weight grads and the
+    local x-grad shards match a single-device reference in each worker."""
+    port = 29090 + (os.getpid() % 900)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), "pallas"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    losses = set()
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        line = [l for l in out.splitlines() if l.startswith("PALLAS_OK")][0]
+        losses.add(line.split("loss=")[1].split()[0])
+    assert len(losses) == 1, losses
+
+
 def test_two_process_train_byol_e2e(tmp_path, tiny_wav_dir):
     """Full train_byol epoch on a 2-process cluster: process-sharded
     loaders, global batch assembly, aggregated validation, orbax save."""
