@@ -506,9 +506,13 @@ def _tuned_large_config():
     )
 
 
-# reference baseline e2e SER fine-tune: 1.89 it/s at bs 32 / accum 4
-# (dev.ipynb cell 39, `run_train_e2e.sh` log 2025-05-03; BASELINE.md)
+# reference baseline e2e SER fine-tune: 1.89 it/s (dev.ipynb cell 39,
+# `run_train_e2e.sh` log 2025-05-03; BASELINE.md).  One "it" is a
+# MICRO-step at DataLoader batch BATCH_SIZE//ACCUMULATION_STEP = 32//4 = 8
+# (train_ft_cat_ser_weighted_checkpoint.py:113), confirmed by the epoch
+# length: 16 287 it × 8 = 130 296 = the MSP-Podcast train split.
 SER_TRAIN_BASELINE_ITS = 1.89
+SER_TRAIN_BASELINE_MICRO_BS = 8
 
 
 def run_emotion_train_bench():
@@ -529,7 +533,11 @@ def run_emotion_train_bench():
     from nrse_tpu.train.losses import ce_weight_category
 
     on_tpu = jax.default_backend() != "cpu"
-    batch = int(os.environ.get("NRSE_BENCH_BATCH", 32))
+    # reference geometry: micro-batch 8 (= 32 // accum 4), ≤10 s clips
+    # padded to the batch max — fixed 10 s here is the conservative
+    # worst case (MSP-Podcast clips run 3-11 s)
+    batch = int(os.environ.get("NRSE_BENCH_BATCH",
+                               SER_TRAIN_BASELINE_MICRO_BS))
     seconds = float(os.environ.get("NRSE_BENCH_SECONDS", 10.0))
     accum = int(os.environ.get("NRSE_BENCH_ACCUM", 4))
     freeze = os.environ.get("NRSE_BENCH_FREEZE", "0") == "1"
@@ -628,15 +636,20 @@ def run_emotion_train_bench():
         final_loss = float(loss)  # D2H fence ends the timed region
     dt = (time.perf_counter() - t0) / iters
     its = 1.0 / dt
+    # vs_baseline normalises per SAMPLE: the reference's 1.89 it/s is a
+    # micro-step at DataLoader batch 8, so compare samples/sec
+    samples_per_sec = batch * its
+    base_samples = SER_TRAIN_BASELINE_ITS * SER_TRAIN_BASELINE_MICRO_BS
     print(json.dumps({
-        "metric": "baseline e2e SER fine-tune step rate (WavLM-large + ASP "
-                  "+ head, bs%d, %gs, accum %d%s)"
+        "metric": "baseline e2e SER fine-tune micro-step rate (WavLM-large "
+                  "+ ASP + head, micro-bs %d, %gs, accum %d%s)"
                   % (batch, seconds, accum, ", frozen SSL" if freeze else "")
                   if on_tpu else "SER fine-tune step rate (tiny CPU smoke)",
         "value": round(its, 3),
         "unit": "it/s",
-        "vs_baseline": round(its / SER_TRAIN_BASELINE_ITS, 3),
+        "vs_baseline": round(samples_per_sec / base_samples, 3),
         "step_time_s": round(dt, 4),
+        "samples_per_sec": round(samples_per_sec, 2),
         "audio_sec_per_sec": round(batch * seconds * its, 1),
         "loss": final_loss,
         "backend": jax.default_backend(),
@@ -723,6 +736,107 @@ def run_ser_eval_bench():
     }))
 
 
+def run_serve_aot_bench():
+    """NRSE_BENCH_MODE=serveaot: the exported StableHLO serving artifact
+    (``serve/export.py``) timed ON THE CHIP against the jit path of the
+    identical forward — what a serving process actually loads vs what the
+    infer-mode numbers time (VERDICT r3 item 6).  Per bucket: random
+    audio, every call's input distinct (iteration-indexed scale) so the
+    tunnel backend cannot dedup bit-identical calls; each call fetches
+    its outputs to host (np.asarray), the artifact's real serving
+    behaviour and a true execution fence.  The artifact is exported with
+    the XLA-kernel config (a multi-platform export cannot carry
+    TPU-Mosaic custom calls), and the jit comparator uses the SAME config
+    so the delta isolates artifact-path overhead."""
+    import dataclasses
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrse_tpu.models.wavlm import WavLMConfig, WavLMModel
+    from nrse_tpu.serve.export import ServingModel, export_embedder
+
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        cfg = dataclasses.replace(
+            _tuned_large_config(),
+            ffn_impl="xla", dropout_impl="xla", attn_dropout_impl="xla",
+            remat=False, layerdrop=0.0,
+        )
+        buckets = tuple(int(b) for b in os.environ.get(
+            "NRSE_BENCH_AOT_BUCKETS", "32,96").split(","))
+        seconds = 5.0
+    else:
+        cfg = WavLMConfig.tiny(layerdrop=0.0)
+        buckets, seconds = (2,), 1.0
+    iters = int(os.environ.get("NRSE_BENCH_ITERS", 20))
+    warmup = int(os.environ.get("NRSE_BENCH_WARMUP", 2))
+    t = int(16000 * seconds)
+
+    model = WavLMModel(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((2, t)), jnp.ones((2, t), jnp.int32))
+
+    out_dir = os.environ.get(
+        "NRSE_BENCH_AOT_DIR",
+        os.path.join(tempfile.gettempdir(), "nrse_aot_artifact"))
+    platforms = ("tpu",) if on_tpu else ("cpu",)
+    print(f"# bench[serveaot]: exporting buckets {buckets} to {out_dir}",
+          file=sys.stderr, flush=True)
+    export_embedder(variables, cfg, out_dir, batch_sizes=buckets,
+                    clip_seconds=seconds, platforms=platforms)
+    sm = ServingModel(out_dir)
+
+    def jit_fwd(audio, mask):
+        return model.apply(variables, audio, attention_mask=mask,
+                           deterministic=True)
+
+    jit_fwd = jax.jit(jit_fwd)
+
+    rng = np.random.default_rng(0)
+    rows = {}
+    for b in buckets:
+        audio = rng.standard_normal((b, t)).astype(np.float32)
+        mask = np.ones((b, t), np.int32)
+        scales = (1.0 + 1e-6 * np.arange(warmup + iters)).astype(np.float32)
+
+        def drive(fn, label):
+            for i in range(warmup):
+                r = fn(audio * scales[i], mask)
+                r = r if isinstance(r, (tuple, list)) else (r,)
+                np.asarray(r[-1])
+            t0 = time.perf_counter()
+            for i in range(iters):
+                r = fn(audio * scales[warmup + i], mask)
+                r = r if isinstance(r, (tuple, list)) else (r,)
+                # host fetch: the fence AND the serving contract
+                np.asarray(r[-1])
+            dt = (time.perf_counter() - t0) / iters
+            print(f"# bench[serveaot]: {label} b{b} {dt*1e3:.1f} ms/call",
+                  file=sys.stderr, flush=True)
+            return b * seconds / dt
+
+        rows[b] = {
+            "artifact_audio_sec_per_sec": round(drive(sm, "artifact"), 1),
+            "jit_audio_sec_per_sec": round(
+                drive(lambda a, m: jit_fwd(jnp.asarray(a), jnp.asarray(m)),
+                      "jit"), 1),
+        }
+    best = max(r["artifact_audio_sec_per_sec"] for r in rows.values())
+    print(json.dumps({
+        "metric": "AOT serving artifact throughput (StableHLO embedder, "
+                  "bucketed, host-fetch per call)"
+                  if on_tpu else "AOT serving artifact (tiny CPU smoke)",
+        "value": best,
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(best / INFER_BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "buckets": {str(b): rows[b] for b in rows},
+        "backend": jax.default_backend(),
+    }))
+
+
 def _ensure_bench_corpus(n_clean: int, n_noise: int, seconds: float):
     """Generate (once) a WAV corpus at /tmp for the data-fed bench mode
     (delegates to the shared structured generator in data/synthetic.py)."""
@@ -762,6 +876,8 @@ def main():
         return run_emotion_train_bench()
     if mode == "sereval":
         return run_ser_eval_bench()
+    if mode == "serveaot":
+        return run_serve_aot_bench()
 
     if os.environ.get("NRSE_BENCH_CHECK_ONLY", "0") == "1":
         # NRSE_BENCH_CHECK_SEL picks a comma-separated subset (each kernel

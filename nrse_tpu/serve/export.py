@@ -81,7 +81,8 @@ def _write_artifact(out_dir: str, kind: str, blobs: Dict[int, bytes],
 def export_embedder(variables, config, out_dir: str,
                     batch_sizes: Sequence[int] = (1, 8),
                     clip_seconds: float = 5.0, sample_rate: int = 16000,
-                    with_mask: bool = True) -> str:
+                    with_mask: bool = True,
+                    platforms: Sequence[str] = ("cpu", "tpu")) -> str:
     """Export the deterministic encoder forward for each batch bucket.
 
     ``variables``: the encoder's flax variables (``{'params': ...}``) —
@@ -107,10 +108,11 @@ def export_embedder(variables, config, out_dir: str,
         if with_mask:
             ex = (jnp.zeros((b, t), jnp.float32),
                   jnp.ones((b, t), jnp.int32))
-            blobs[b] = _export_fn(fwd, ex).serialize()
+            blobs[b] = _export_fn(fwd, ex, platforms=platforms).serialize()
         else:
             blobs[b] = _export_fn(
-                fwd_nomask, (jnp.zeros((b, t), jnp.float32),)
+                fwd_nomask, (jnp.zeros((b, t), jnp.float32),),
+                platforms=platforms,
             ).serialize()
     return _write_artifact(out_dir, "embed", blobs, {
         "with_mask": with_mask,

@@ -276,16 +276,24 @@ def train_categorical_emotions(config) -> Dict:
         em.get("learning_rate", 1e-4), state,
     )
 
-    # Phase 2 — gradual unfreeze fine-tuning
+    # Phase 2 — unfreeze fine-tuning.  gradual_unfreeze=True (default) is
+    # the reference src-trainer schedule (top→bottom over the phase,
+    # categorical_emotions.py:206-226); False unfreezes every layer from
+    # epoch 0 — the reference's *baseline e2e* config (run_train_e2e.sh
+    # --freeze_ssl=False trains all params from step 0), the one its
+    # headline flat clean→snr4 row was measured with (dev.ipynb cell 52).
     if em.get("unfreeze_encoder", False):
         restored, _ = restore_checkpoint(ckpt_dir, "best_classifier_model", state)
         state = restored
+        if em.get("gradual_unfreeze", True):
+            schedule = lambda e, total: gradually_unfrozen_layers(  # noqa: E731
+                e, total, num_layers)
+        else:
+            schedule = lambda e, total: list(range(num_layers))  # noqa: E731
         state, best_f1_ft = run_phase(
             "fine_tune", em.get("fine_tuning_epochs", 10),
             em.get("fine_tuning_lr", 5e-6), state,
-            unfreeze_schedule=lambda e, total: gradually_unfrozen_layers(
-                e, total, num_layers
-            ),
+            unfreeze_schedule=schedule,
             best_name="best_fine_tuned_model",
         )
         best_f1 = max(best_f1, best_f1_ft)

@@ -60,7 +60,8 @@ def _symlink_split(audio_dir: str, out_dir: str, prefix: str) -> str:
     return out_dir
 
 
-def run_byol(clean_dir, noise_dir, ckpt_dir, epochs, batch, smoke=False):
+def run_byol(clean_dir, noise_dir, ckpt_dir, epochs, batch, smoke=False,
+             snr_range=None):
     import yaml
 
     config = _load_preset("default_wavlm-large_byol.yaml")
@@ -73,6 +74,11 @@ def run_byol(clean_dir, noise_dir, ckpt_dir, epochs, batch, smoke=False):
     config["data"].update({
         "clean_data_path": clean_dir, "noise_data_path": noise_dir,
     })
+    if snr_range:
+        # align pretraining SNRs with the downstream eval points (VERDICT
+        # r3 item 3) — the reference's winning run also brackets them
+        # (snr_range [2, 20], run_train_e2e.sh model dir "snr2_20")
+        config["data"]["snr_range"] = list(snr_range)
     if smoke:
         config["model"]["name"] = "wavlm-tiny"
         config["model"].update({"projection_dim": 32, "prediction_dim": 64})
@@ -97,12 +103,15 @@ def run_byol(clean_dir, noise_dir, ckpt_dir, epochs, batch, smoke=False):
 
 
 def ser_config(preset, labels_csv, audio_dir, noise_dir, encoder_ckpt,
-               ckpt_dir, epochs, batch, lr, categorical, smoke=False):
+               ckpt_dir, epochs, batch, lr, categorical, smoke=False,
+               e2e=False, ft_epochs=0, ft_lr=5e-6, snr_range=None):
     config = _load_preset(preset)
     config["training"]["log_dir"] = "/tmp/nrse_transfer_logs"
     config["logging"].update({"wandb_mode": "disabled",
                               "console_level": "WARNING"})
     config["data"]["noise_data_path"] = noise_dir
+    if snr_range:
+        config["data"]["snr_range"] = list(snr_range)
     if smoke:
         config["model"]["name"] = "wavlm-tiny"
         config["model"].update({"projection_dim": 32, "prediction_dim": 64})
@@ -120,11 +129,28 @@ def ser_config(preset, labels_csv, audio_dir, noise_dir, encoder_ckpt,
         "validataion_dataset_split": "Development",
         "batch_size": batch,
         "classifier_epochs": epochs,
-        "unfreeze_encoder": False,          # frozen-encoder transfer readout
-        "add_noise_during_training": False,  # train clean; eval clean/noisy
         "categorical_only": categorical,
         "learning_rate": lr,
     })
+    if e2e:
+        # the reference's headline flat clean→snr4 row is its *e2e* config
+        # (dev.ipynb cell 52): every parameter trainable from step 0
+        # (run_train_e2e.sh --freeze_ssl=False) and the SER corpus noisy
+        # (config_cat_noisy.json points at the noisy wav dir) — so the e2e
+        # leg fine-tunes all layers (no gradual schedule) WITH train-time
+        # noise augmentation
+        config["emotion"].update({
+            "unfreeze_encoder": True,
+            "gradual_unfreeze": False,
+            "fine_tuning_epochs": ft_epochs,
+            "fine_tuning_lr": ft_lr,
+            "add_noise_during_training": True,
+        })
+    else:
+        config["emotion"].update({
+            "unfreeze_encoder": False,       # frozen-encoder transfer readout
+            "add_noise_during_training": False,  # train clean; eval noisy
+        })
     return config
 
 
@@ -178,6 +204,13 @@ def main():
     p.add_argument("--ser-epochs", type=int, default=8)
     p.add_argument("--ser-batch", type=int, default=16)
     p.add_argument("--ser-lr", type=float, default=1e-3)
+    p.add_argument("--ft-epochs", type=int, default=6,
+                   help="phase-2 e2e fine-tune epochs (categorical)")
+    p.add_argument("--ft-lr", type=float, default=2e-5)
+    p.add_argument("--byol-snr", type=float, nargs="+",
+                   default=[2.0, 4.0, 8.0, 12.0],
+                   help="BYOL pretraining SNR choices (brackets eval 4/8)")
+    p.add_argument("--skip-e2e", action="store_true")
     p.add_argument("--skip-dimensional", action="store_true")
     p.add_argument("--reuse", action="store_true",
                    help="reuse existing BYOL checkpoint / SER checkpoints")
@@ -201,6 +234,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         args.train, args.dev = 48, 16
         args.byol_epochs, args.ser_epochs = 1, 1
+        args.ft_epochs = 1
         args.byol_batch = args.ser_batch = 4
         args.corpus = "/tmp/nrse_transfer_smoke"
         if args.out == "docs/transfer_evidence":
@@ -234,9 +268,14 @@ def main():
                "--ser-epochs", str(args.ser_epochs),
                "--ser-batch", str(args.ser_batch),
                "--ser-lr", str(args.ser_lr),
+               "--ft-epochs", str(args.ft_epochs),
+               "--ft-lr", str(args.ft_lr),
+               "--byol-snr", *[str(s) for s in args.byol_snr],
                "--corpus", args.corpus, "--out", args.out]
         if args.skip_dimensional:
             cmd.append("--skip-dimensional")
+        if args.skip_e2e:
+            cmd.append("--skip-e2e")
         if args.smoke:
             cmd.append("--smoke")
         print(f"# transfer: stage {stage} (subprocess)", flush=True)
@@ -258,7 +297,7 @@ def main():
         else:
             byol_best = run_byol(byol_clean, noise_train, byol_ckpt_dir,
                                  args.byol_epochs, args.byol_batch,
-                                 smoke=args.smoke)
+                                 smoke=args.smoke, snr_range=args.byol_snr)
     if args.stage == "byol":
         return
     print(f"# transfer: BYOL checkpoint at {byol_best}", flush=True)
@@ -272,7 +311,13 @@ def main():
                       "nrse_tpu.train.dimentional_emotions"))
 
     for task, preset, cat_only, fn_name, mod_name in tasks:
-        for variant, enc in (("byol", byol_best), ("random", None)):
+        variants = [("byol", byol_best, False), ("random", None, False)]
+        if task == "categorical" and not args.skip_e2e:
+            # the e2e phase-2 legs — the config the reference's flat
+            # clean→snr4 row was actually measured with (VERDICT r3 item 3)
+            variants += [("byol_e2e", byol_best, True),
+                         ("random_e2e", None, True)]
+        for variant, enc, e2e in variants:
             stage = f"{task}:{variant}"
             if args.stage is not None and args.stage != stage:
                 continue
@@ -294,9 +339,12 @@ def main():
             config = ser_config(
                 preset, labels_csv, audio_dir, noise_train, enc, ckpt_dir,
                 args.ser_epochs, args.ser_batch, args.ser_lr, cat_only,
-                smoke=args.smoke,
+                smoke=args.smoke, e2e=e2e, ft_epochs=args.ft_epochs,
+                ft_lr=args.ft_lr, snr_range=args.byol_snr,
             )
-            best = os.path.join(ckpt_dir, "best_classifier_model")
+            best = os.path.join(
+                ckpt_dir,
+                "best_fine_tuned_model" if e2e else "best_classifier_model")
             if not (args.reuse and os.path.isdir(best)):
                 print(f"# transfer: training {task}/{variant}", flush=True)
                 if args.smoke:
@@ -379,6 +427,36 @@ def main():
         row("BYOL-pretrained", results["categorical_byol"], "accuracy"),
         row("random-init", results["categorical_random"], "accuracy"),
     ]
+    if "categorical_byol_e2e" in results:
+        lines += [
+            "",
+            "## Categorical SER — e2e fine-tuned (the reference's flat-row"
+            " config)",
+            "",
+            "Phase 2: every layer trainable from epoch 0 (run_train_e2e.sh"
+            " --freeze_ssl=False semantics), train-time noise augmentation"
+            " on (config_cat_noisy.json points the reference's SER training"
+            " at the noisy corpus), BYOL pretraining SNRs bracketing the"
+            " eval points.  This is the configuration the reference's"
+            " headline flat clean→snr4 row was measured with (dev.ipynb"
+            " cell 52).",
+            "",
+            "| encoder (e2e fine-tuned) | clean | snr8 | snr4 |"
+            " Δ(clean→snr4) |",
+            "|---|---|---|---|---|",
+            row("BYOL-pretrained", results["categorical_byol_e2e"],
+                "macro_f1"),
+            row("random-init", results["categorical_random_e2e"],
+                "macro_f1"),
+            "",
+            "| encoder (e2e fine-tuned) | accuracy clean | snr8 | snr4 |"
+            " Δ |",
+            "|---|---|---|---|---|",
+            row("BYOL-pretrained", results["categorical_byol_e2e"],
+                "accuracy"),
+            row("random-init", results["categorical_random_e2e"],
+                "accuracy"),
+        ]
     if "dimensional_byol" in results:
         lines += ["", "## Dimensional SER (CCC)", ""]
         for dim in ("arousal", "valence", "dominance"):
