@@ -718,6 +718,12 @@ def run_ser_eval_bench():
           f"files={n_files} buckets={n_buckets}", file=sys.stderr, flush=True)
     results, inference_time, audio_seconds = bucketed_forward_timed(
         forward, params, loaded, batch, warmup_shapes=True)
+    # second pass with device staging outside the timed region: the chip's
+    # steady-state rate (through the remote-TPU tunnel the [32, 240000]
+    # H2D dominates the e2e number in a way local PCIe/ICI staging
+    # would not)
+    _, compute_time, _ = bucketed_forward_timed(
+        forward, params, loaded, batch, warmup_shapes=False, prestage=True)
     tpas = inference_time / max(audio_seconds, 1e-9)
     audio_sec_per_sec = audio_seconds / max(inference_time, 1e-9)
     print(json.dumps({
@@ -729,6 +735,10 @@ def run_ser_eval_bench():
         "unit": "sec/audio-sec (lower is better)",
         "vs_baseline": round(audio_sec_per_sec / INFER_BASELINE_AUDIO_SEC_PER_SEC, 3),
         "audio_sec_per_sec": round(audio_sec_per_sec, 1),
+        "prestaged_sec_per_audio_sec": round(
+            compute_time / max(audio_seconds, 1e-9), 6),
+        "prestaged_audio_sec_per_sec": round(
+            audio_seconds / max(compute_time, 1e-9), 1),
         "inference_time_s": round(inference_time, 3),
         "audio_seconds": round(audio_seconds, 1),
         "n_results": len(results),

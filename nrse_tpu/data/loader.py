@@ -36,7 +36,7 @@ class HostDataLoader:
 
     def __init__(self, dataset, indices: Sequence[int], batch_size: int,
                  shuffle: bool = False, seed: int = 0, num_workers: int = 8,
-                 drop_last: bool = True):
+                 drop_last: bool = True, readahead_batches: int = 4):
         self.dataset = dataset
         self.indices = np.asarray(indices, dtype=np.int64)
         self.batch_size = batch_size
@@ -45,6 +45,11 @@ class HostDataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.epoch = 0
+        # cold-corpus mitigation: advise the kernel (readahead) this many
+        # batches ahead of the decode pool, via the dataset's optional
+        # `readahead_paths(indices)` hook + the native runtime's
+        # posix_fadvise.  0 disables.
+        self.readahead_batches = readahead_batches
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -64,8 +69,26 @@ class HostDataLoader:
         # datasets may expose a vectorised `sample_batch` (native C++
         # multithreaded decode) — prefer it over per-item Python workers
         fast_path = getattr(self.dataset, "sample_batch", None)
+
+        ra_hook = getattr(self.dataset, "readahead_paths", None)
+        ra_depth = self.readahead_batches if ra_hook is not None else 0
+        if ra_depth:
+            from nrse_tpu.runtime.native import native_readahead
+
+            def advise(b_future):
+                if b_future < n_batches:
+                    native_readahead(ra_hook(
+                        order[b_future * bs : (b_future + 1) * bs]))
+
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b in range(n_batches):
+                if ra_depth:
+                    # fire-and-forget: a pool worker open+fadvise+closes
+                    # the files batch b+depth will decode
+                    pool.submit(advise, b + ra_depth if b else 1)
+                    if b == 0:  # prime the window on the first batch
+                        for k in range(2, ra_depth + 1):
+                            pool.submit(advise, k)
                 chunk = order[b * bs : (b + 1) * bs]
                 true_count = len(chunk)
                 if true_count < bs:  # pad for static shapes (eval only)

@@ -53,6 +53,15 @@ class NoiseRobustSpeechDataset:
     def __len__(self) -> int:
         return len(self.clean_files)
 
+    def readahead_paths(self, indices) -> List[str]:
+        """Files an upcoming batch will read — the loader advises the
+        kernel (POSIX_FADV_WILLNEED) a few batches ahead so a cold-cache
+        first epoch overlaps disk latency with decode/compute.  Clean
+        files only: the noise pool is small (19k vs 151k reference
+        corpus) and hot after the first few hundred batches, and the
+        per-item noise pick depends on the item RNG."""
+        return [self.clean_files[int(i)] for i in indices]
+
     def _load(self, path: str, rng) -> Optional[np.ndarray]:
         pyrng = random.Random(int(rng.integers(0, 2**31)))
         return load_and_process_audio(

@@ -9,6 +9,9 @@
 //
 // Build: make -C nrse_tpu/runtime   ->  libnrse_audio.so
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cmath>
@@ -275,6 +278,22 @@ void nrse_load_batch(const char** paths, int32_t batch, int32_t target_sr,
   pool.reserve(n_threads);
   for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
+}
+
+// Cold-cache readahead: advise the kernel that these files are about to
+// be read (POSIX_FADV_WILLNEED queues async page-cache readahead).  The
+// first epoch over a cold corpus is disk-latency-bound (round-3 measured
+// 328.5 vs 453.7 audio-sec/sec warm); advising a few batches ahead of the
+// decode pool overlaps that latency with compute.  Open+advise+close per
+// file is a handful of syscalls (~µs) — callers may still run it off the
+// hot thread.
+void nrse_readahead(const char** paths, int32_t n) {
+  for (int32_t i = 0; i < n; ++i) {
+    int fd = open(paths[i], O_RDONLY);
+    if (fd < 0) continue;
+    posix_fadvise(fd, 0, 0, POSIX_FADV_WILLNEED);
+    close(fd);
+  }
 }
 
 }  // extern "C"

@@ -60,6 +60,11 @@ def _load():
         ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "nrse_readahead"):  # absent in pre-round-4 builds
+        lib.nrse_readahead.restype = None
+        lib.nrse_readahead.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32
+        ]
     _lib = lib
     return _lib
 
@@ -115,3 +120,19 @@ def native_load_batch(paths: List[str], target_sr: int, max_samples: int,
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out, lengths
+
+
+def native_readahead(paths: List[str]) -> bool:
+    """Queue async page-cache readahead (POSIX_FADV_WILLNEED) for files a
+    few batches ahead of the decode pool — the cold-corpus first-epoch
+    mitigation (round-3 measured 328.5 cold vs 453.7 warm audio-sec/sec).
+    Returns False (no-op) without the native library or the symbol."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nrse_readahead"):
+        return False
+    n = len(paths)
+    if n == 0:
+        return True
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.nrse_readahead(c_paths, n)
+    return True
