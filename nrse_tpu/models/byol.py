@@ -147,6 +147,8 @@ class BYOLSpeechModel:
                 seq_pad_multiple=int(tpu_cfg.get("seq_pad_multiple", 1)),
                 attn_dropout_impl=tpu_cfg.get("attn_dropout_impl", "xla"),
                 dropout_impl=tpu_cfg.get("dropout_impl", "xla"),
+                qkv_impl=tpu_cfg.get("qkv_impl", "xla"),
+                frontend_remat=bool(tpu_cfg.get("frontend_remat", False)),
             )
         self.encoder_config = encoder_config
         self.projection_dim = model_cfg.get("projection_dim", 1024)
