@@ -433,13 +433,15 @@ def main():
             "## Categorical SER — e2e fine-tuned (the reference's flat-row"
             " config)",
             "",
-            "Phase 2: every layer trainable from epoch 0 (run_train_e2e.sh"
-            " --freeze_ssl=False semantics), train-time noise augmentation"
-            " on (config_cat_noisy.json points the reference's SER training"
-            " at the noisy corpus), BYOL pretraining SNRs bracketing the"
-            " eval points.  This is the configuration the reference's"
-            " headline flat clean→snr4 row was measured with (dev.ipynb"
-            " cell 52).",
+            "Phase 2: every transformer layer + heads trainable from"
+            " epoch 0 (run_train_e2e.sh --freeze_ssl=False semantics; the"
+            " conv frontend stays frozen — the trainer only re-enables"
+            " `layer.{i}` groups, like the reference's own unfreeze code),"
+            " train-time noise augmentation on (config_cat_noisy.json"
+            " points the reference's SER training at the noisy corpus),"
+            " BYOL pretraining SNRs bracketing the eval points.  This is"
+            " the configuration the reference's headline flat clean→snr4"
+            " row was measured with (dev.ipynb cell 52).",
             "",
             "| encoder (e2e fine-tuned) | clean | snr8 | snr4 |"
             " Δ(clean→snr4) |",
