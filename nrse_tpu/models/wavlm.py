@@ -971,7 +971,12 @@ class WavLMModel(nn.Module):
 
         fe_cls = ConvFeatureEncoder
         if cfg.frontend_remat:
-            fe_cls = nn.remat(ConvFeatureEncoder, prevent_cse=False)
+            # prevent_cse=True is required here: the frontend sits at jit
+            # top level (no scan/cond CSE barrier), and with CSE allowed
+            # XLA merges the backward recompute with the forward run,
+            # silently re-materialising the residuals remat exists to drop
+            # (measured: identical 16.35G HBM peak with prevent_cse=False)
+            fe_cls = nn.remat(ConvFeatureEncoder)
         feats = fe_cls(cfg, name="feature_extractor")(input_values)
         t_frames = feats.shape[1]
 
