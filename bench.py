@@ -802,11 +802,26 @@ def run_serve_aot_bench():
         "NRSE_BENCH_AOT_DIR",
         os.path.join(tempfile.gettempdir(), "nrse_aot_artifact"))
     platforms = ("tpu",) if on_tpu else ("cpu",)
-    print(f"# bench[serveaot]: exporting buckets {buckets} to {out_dir}",
-          file=sys.stderr, flush=True)
-    export_embedder(variables, cfg, out_dir, batch_sizes=buckets,
-                    clip_seconds=seconds, platforms=platforms)
+    # jax.export only lowers + serializes — no device execution — so the
+    # TPU artifact can be pre-staged from a CPU host process while the
+    # chip is busy (tools/export_aot_artifact.py); NRSE_BENCH_AOT_REUSE=1
+    # loads an existing artifact instead of re-exporting (~20 min for the
+    # (32, 96) large buckets).  Timing is unaffected: the artifact and
+    # the jit comparator run the same architecture, and the bench times
+    # throughput, not output values.
+    reuse = os.environ.get("NRSE_BENCH_AOT_REUSE", "0") == "1" and \
+        os.path.exists(os.path.join(out_dir, "manifest.json"))
+    if reuse:
+        print(f"# bench[serveaot]: reusing staged artifact at {out_dir}",
+              file=sys.stderr, flush=True)
+    else:
+        print(f"# bench[serveaot]: exporting buckets {buckets} to "
+              f"{out_dir}", file=sys.stderr, flush=True)
+        export_embedder(variables, cfg, out_dir, batch_sizes=buckets,
+                        clip_seconds=seconds, platforms=platforms)
     sm = ServingModel(out_dir)
+    if reuse:
+        buckets = tuple(int(b) for b in sm.manifest["buckets"])
 
     def jit_fwd(audio, mask):
         return model.apply(variables, audio, attention_mask=mask,
