@@ -43,9 +43,16 @@ def _export_fn(fn, example_args, platforms=("cpu", "tpu")):
     import jax
     from jax import export as jexport
 
-    return jexport.export(jax.jit(fn), platforms=tuple(platforms))(
-        *example_args
-    )
+    # The platform-name safety check is disabled in the artifact: serving
+    # runtimes can surface real TPU silicon under an aliased PJRT platform
+    # name (e.g. the remote-TPU tunnel's "axon"), and jax.export's
+    # call-time check compares raw lowering-platform strings.  The
+    # artifact is still lowered strictly for `platforms`; disabling the
+    # check only skips the name comparison at call time.
+    return jexport.export(
+        jax.jit(fn), platforms=tuple(platforms),
+        disabled_checks=[jexport.DisabledSafetyCheck.platform()],
+    )(*example_args)
 
 
 def _config_meta(config) -> Dict[str, Any]:
