@@ -129,3 +129,30 @@ def test_classifier_artifact(tmp_path):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dim_live), dim,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cpu_host_stager_multi_bucket_manifest(tmp_path):
+    """tools/export_aot_artifact.py — the CPU-host pre-stager the serveaot
+    bench reuses via NRSE_BENCH_AOT_REUSE: its per-bucket export loop must
+    leave a manifest listing ALL buckets (export_embedder overwrites the
+    manifest per call), and every blob must deserialize."""
+    import sys
+
+    from jax import export as jexport
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from export_aot_artifact import main as stage_main
+
+    out = str(tmp_path / "staged")
+    stage_main(["--out", out, "--buckets", "1,2", "--seconds", "0.5",
+                "--arch", "tiny"])
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["buckets"] == [1, 2]
+    assert set(manifest["files"]) == {"1", "2"}
+    for b, fname in manifest["files"].items():
+        with open(os.path.join(out, fname), "rb") as f:
+            exp = jexport.deserialize(f.read())
+        assert exp.platforms == ("tpu",)
+        assert exp.in_avals[0].shape[0] == int(b)

@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/nrse_aot_artifact")
     ap.add_argument("--buckets", default="32,96")
     ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--arch", default="large", choices=("large", "tiny"),
+                    help="tiny = fast CPU-testable artifact")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -37,17 +39,20 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from bench import _tuned_large_config
-    from nrse_tpu.models.wavlm import WavLMModel
+    from nrse_tpu.models.wavlm import WavLMConfig, WavLMModel
     from nrse_tpu.serve.export import export_embedder
 
     # the serveaot bench's exact artifact config: tuned defaults with the
     # Pallas kernels swapped for XLA (Mosaic custom calls cannot ride a
     # serialized export), no remat/layerdrop in the inference graph
-    cfg = dataclasses.replace(
-        _tuned_large_config(),
-        ffn_impl="xla", dropout_impl="xla", attn_dropout_impl="xla",
-        remat=False, layerdrop=0.0,
-    )
+    if args.arch == "tiny":
+        cfg = WavLMConfig.tiny(layerdrop=0.0)
+    else:
+        cfg = dataclasses.replace(
+            _tuned_large_config(),
+            ffn_impl="xla", dropout_impl="xla", attn_dropout_impl="xla",
+            remat=False, layerdrop=0.0,
+        )
     buckets = tuple(int(b) for b in args.buckets.split(","))
     t = int(16000 * args.seconds)
 
