@@ -212,6 +212,11 @@ def main():
                    help="BYOL pretraining SNR choices (brackets eval 4/8)")
     p.add_argument("--skip-e2e", action="store_true")
     p.add_argument("--skip-dimensional", action="store_true")
+    p.add_argument("--legs", default=None,
+                   help="comma list of variants to run (byol,random,"
+                        "byol_e2e,random_e2e) — lets a deadline-bound "
+                        "rerun prioritize the e2e legs; cached legs load "
+                        "regardless")
     p.add_argument("--reuse", action="store_true",
                    help="reuse existing BYOL checkpoint / SER checkpoints")
     p.add_argument("--out", default="docs/transfer_evidence")
@@ -330,6 +335,11 @@ def main():
                 print(f"# transfer: readout {task}/{variant} (cached)",
                       flush=True)
                 continue
+            if args.legs is not None and \
+                    variant not in args.legs.split(","):
+                print(f"# transfer: skipping {task}/{variant} (--legs)",
+                      flush=True)
+                continue
             if subprocess_stages:
                 run_stage_subprocess(stage)
                 with open(cache) as f:
@@ -415,18 +425,23 @@ def main():
         "Development audio, with eval noise from a held-out seed.  The",
         "control is the same pipeline from a random-init encoder.",
         "",
-        "## Categorical SER (macro-F1)",
-        "",
-        "| encoder (frozen) | clean | snr8 | snr4 | Δ(clean→snr4) |",
-        "|---|---|---|---|---|",
-        row("BYOL-pretrained", results["categorical_byol"], "macro_f1"),
-        row("random-init", results["categorical_random"], "macro_f1"),
-        "",
-        "| encoder (frozen) | accuracy clean | snr8 | snr4 | Δ |",
-        "|---|---|---|---|---|",
-        row("BYOL-pretrained", results["categorical_byol"], "accuracy"),
-        row("random-init", results["categorical_random"], "accuracy"),
     ]
+    if "categorical_byol" in results and "categorical_random" in results:
+        lines += [
+            "## Categorical SER (macro-F1)",
+            "",
+            "| encoder (frozen) | clean | snr8 | snr4 | Δ(clean→snr4) |",
+            "|---|---|---|---|---|",
+            row("BYOL-pretrained", results["categorical_byol"],
+                "macro_f1"),
+            row("random-init", results["categorical_random"], "macro_f1"),
+            "",
+            "| encoder (frozen) | accuracy clean | snr8 | snr4 | Δ |",
+            "|---|---|---|---|---|",
+            row("BYOL-pretrained", results["categorical_byol"],
+                "accuracy"),
+            row("random-init", results["categorical_random"], "accuracy"),
+        ]
     if "categorical_byol_e2e" in results:
         lines += [
             "",
