@@ -721,9 +721,18 @@ def run_ser_eval_bench():
     # second pass with device staging outside the timed region: the chip's
     # steady-state rate (through the remote-TPU tunnel the [32, 240000]
     # H2D dominates the e2e number in a way local PCIe/ICI staging
-    # would not)
+    # would not).  perturb: the tunnel dedups bit-identical dispatches
+    # (~0.2 ms replay), so repeat passes over the same data must vary the
+    # inputs or they time cache replay, not the chip.
     _, compute_time, _ = bucketed_forward_timed(
-        forward, params, loaded, batch, warmup_shapes=False, prestage=True)
+        forward, params, loaded, batch, warmup_shapes=False, prestage=True,
+        perturb=1e-6)
+    # third pass: double-buffered H2D overlap — honest e2e (every
+    # transfer inside ONE timed region) with the tunnel H2D hidden
+    # behind compute, the production-serving staging pattern
+    _, overlap_time, _ = bucketed_forward_timed(
+        forward, params, loaded, batch, warmup_shapes=False, overlap=True,
+        perturb=2e-6)
     tpas = inference_time / max(audio_seconds, 1e-9)
     audio_sec_per_sec = audio_seconds / max(inference_time, 1e-9)
     print(json.dumps({
@@ -739,6 +748,10 @@ def run_ser_eval_bench():
             compute_time / max(audio_seconds, 1e-9), 6),
         "prestaged_audio_sec_per_sec": round(
             audio_seconds / max(compute_time, 1e-9), 1),
+        "overlap_sec_per_audio_sec": round(
+            overlap_time / max(audio_seconds, 1e-9), 6),
+        "overlap_audio_sec_per_sec": round(
+            audio_seconds / max(overlap_time, 1e-9), 1),
         "inference_time_s": round(inference_time, 3),
         "audio_seconds": round(audio_seconds, 1),
         "n_results": len(results),
@@ -812,13 +825,37 @@ def run_serve_aot_bench():
     reuse = os.environ.get("NRSE_BENCH_AOT_REUSE", "0") == "1" and \
         os.path.exists(os.path.join(out_dir, "manifest.json"))
     if reuse:
+        # the pre-stager supports --arch tiny and arbitrary --seconds: a
+        # stale or mismatched artifact would yield a silently
+        # apples-to-oranges artifact-vs-jit comparison — verify the
+        # staged config against the jit comparator's and re-export on
+        # mismatch
+        from nrse_tpu.serve.export import _config_meta
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            staged = json.load(f)
+        mismatches = [
+            k for k, v in _config_meta(cfg).items()
+            if staged.get("encoder_config", {}).get(k) != v
+        ]
+        if float(staged.get("clip_seconds", -1.0)) != seconds:
+            mismatches.append("clip_seconds")
+        if mismatches:
+            print(f"# bench[serveaot]: staged artifact config mismatch "
+                  f"({', '.join(mismatches)}) — re-exporting",
+                  file=sys.stderr, flush=True)
+            reuse = False
+    if reuse:
         print(f"# bench[serveaot]: reusing staged artifact at {out_dir}",
               file=sys.stderr, flush=True)
     else:
         print(f"# bench[serveaot]: exporting buckets {buckets} to "
               f"{out_dir}", file=sys.stderr, flush=True)
+        # strict_platform_check off on TPU: the tunnel's PJRT platform
+        # name ("axon") aliases real TPU silicon
         export_embedder(variables, cfg, out_dir, batch_sizes=buckets,
-                        clip_seconds=seconds, platforms=platforms)
+                        clip_seconds=seconds, platforms=platforms,
+                        strict_platform_check=not on_tpu)
     sm = ServingModel(out_dir)
     if reuse:
         buckets = tuple(int(b) for b in sm.manifest["buckets"])

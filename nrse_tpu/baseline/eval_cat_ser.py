@@ -52,7 +52,9 @@ def load_audio_16k(path: str) -> Optional[np.ndarray]:
 
 def bucketed_forward_timed(forward, params, loaded, batch_size: int,
                            warmup_shapes: bool = False,
-                           prestage: bool = False):
+                           prestage: bool = False,
+                           overlap: bool = False,
+                           perturb: float = 0.0):
     """The evaluator's timed hot path, shared with ``bench.py``
     (``NRSE_BENCH_MODE=sereval``): group ``(entry, wav)`` pairs into 5 s
     length buckets, run batched ssl→pool→ser forwards, and accumulate the
@@ -70,6 +72,24 @@ def bucketed_forward_timed(forward, params, loaded, batch_size: int,
     exclude; the CLI leaves this off to keep cold-start semantics visible
     in its separate wall-clock log).
 
+    Modes beyond the default (H2D + forward + D2H per batch, reference
+    e2e semantics):
+      * ``prestage`` — device staging outside the timed region (BOTH the
+        audio and the equal-sized [B, T] float32 mask are fenced before
+        t0): the chip's steady-state rate.
+      * ``overlap`` — double-buffered production serving: batch ``k+1``'s
+        H2D is issued (async ``device_put``) while batch ``k`` computes;
+        ONE timed region covers the whole loop including every transfer
+        and fetch, so this is an honest e2e number that simply hides the
+        tunnel H2D behind compute instead of excluding it.
+
+    ``perturb`` scales batch ``k``'s audio by ``1 + perturb·(k+1)``:
+    the remote tunnel dedups bit-identical dispatches (~0.2 ms replay,
+    CLAUDE.md), so a second measurement pass over the same data must
+    perturb or it times cache replay, not the chip.  Masks (and therefore
+    ``audio_seconds``) are unchanged; at 1e-6 relative scale the logits
+    are metric-identical.
+
     Returns ``(results, inference_time_s, audio_seconds)`` where results
     is a list of ``(entry, logits_row)`` in bucket order.
     """
@@ -85,37 +105,66 @@ def bucketed_forward_timed(forward, params, loaded, batch_size: int,
             np.asarray(forward(params, z, jnp.ones((batch_size, blen),
                                                    jnp.float32)))
 
-    inference_time = 0.0
-    audio_seconds = 0.0
-    results = []
+    # host batch assembly (padding/copy) is shared prep for every mode
+    batches = []  # (chunk, x, mask)
     for blen, items in sorted(buckets.items()):
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
-            n = len(chunk)
             x = np.zeros((batch_size, blen), np.float32)
             mask = np.zeros((batch_size, blen), np.float32)
             for j, (_, wav) in enumerate(chunk):
                 ln = min(len(wav), blen)
                 x[j, :ln] = wav[:ln]
                 mask[j, :ln] = 1.0
-            if prestage:
-                # device staging OUTSIDE the timed region: the chip's
-                # steady-state inference rate, what a server with async
-                # input staging achieves (the H2D of a [32, 240000] batch
-                # dominates end-to-end through the remote-TPU tunnel)
-                jx, jm = jnp.asarray(x), jnp.asarray(mask)
-                jx.block_until_ready()
-                t0 = time.perf_counter()
-                logits = np.asarray(forward(params, jx, jm), np.float32)
-            else:
-                t0 = time.perf_counter()
-                logits = np.asarray(
-                    forward(params, jnp.asarray(x), jnp.asarray(mask)),
-                    np.float32)
-            inference_time += time.perf_counter() - t0
-            audio_seconds += float(mask[:n].sum()) / 16000.0
-            for (e, _), logit in zip(chunk, logits[:n]):
-                results.append((e, logit))
+            if perturb:
+                x *= np.float32(1.0 + perturb * (len(batches) + 1))
+            batches.append((chunk, x, mask))
+
+    inference_time = 0.0
+    audio_seconds = 0.0
+    results = []
+
+    def collect(chunk, mask, logits):
+        nonlocal audio_seconds
+        n = len(chunk)
+        audio_seconds += float(mask[:n].sum()) / 16000.0
+        for (e, _), logit in zip(chunk, logits[:n]):
+            results.append((e, logit))
+
+    if overlap:
+        t0 = time.perf_counter()
+        staged = [(jnp.asarray(batches[0][1]), jnp.asarray(batches[0][2]))] \
+            if batches else []  # pipeline fill: batch 0's H2D is exposed
+        for k, (chunk, x, mask) in enumerate(batches):
+            jx, jm = staged.pop()
+            out = forward(params, jx, jm)  # async dispatch
+            if k + 1 < len(batches):
+                # H2D of the next batch rides under this batch's compute
+                staged.append((jnp.asarray(batches[k + 1][1]),
+                               jnp.asarray(batches[k + 1][2])))
+            logits = np.asarray(out, np.float32)  # fences compute + D2H
+            collect(chunk, mask, logits)
+        inference_time = time.perf_counter() - t0
+        return results, inference_time, audio_seconds
+
+    for chunk, x, mask in batches:
+        if prestage:
+            # device staging OUTSIDE the timed region: the chip's
+            # steady-state inference rate, what a server with async
+            # input staging achieves (the H2D of a [32, 240000] batch
+            # dominates end-to-end through the remote-TPU tunnel)
+            jx, jm = jnp.asarray(x), jnp.asarray(mask)
+            jx.block_until_ready()
+            jm.block_until_ready()
+            t0 = time.perf_counter()
+            logits = np.asarray(forward(params, jx, jm), np.float32)
+        else:
+            t0 = time.perf_counter()
+            logits = np.asarray(
+                forward(params, jnp.asarray(x), jnp.asarray(mask)),
+                np.float32)
+        inference_time += time.perf_counter() - t0
+        collect(chunk, mask, logits)
     return results, inference_time, audio_seconds
 
 

@@ -142,11 +142,19 @@ def gradually_unfrozen_layers(epoch: int, total_epochs: int,
 
 
 def apply_layer_unfreeze_to_grads(grads: Dict[str, Any], scale,
-                                  encoder_key: str = "encoder") -> Dict[str, Any]:
+                                  encoder_key: str = "encoder",
+                                  rest_scale=0.0) -> Dict[str, Any]:
     """Scale the stacked transformer-layer grads by the per-layer 0/1
     vector; all other encoder grads (frontend, projections, pos-conv) are
-    zeroed, matching the reference which only ever re-enables ``layer.{i}``
-    parameter groups."""
+    multiplied by ``rest_scale`` — 0.0 (default) matches the reference's
+    gradual-unfreeze path, which only ever re-enables ``layer.{i}``
+    parameter groups (``emotion.py:114-129``); 1.0 is the baseline-e2e
+    ``--freeze_ssl=False`` semantics, where EVERY ssl parameter gets an
+    optimizer (``train_ft_cat_ser_weighted_checkpoint.py:209-214``).
+    ``rest_scale`` may be a traced scalar so switching it never
+    recompiles the train step."""
+    rest_scale = jnp.asarray(rest_scale, jnp.float32)
+
     def mark(path, g):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
         if encoder_key not in keys[:2]:
@@ -154,6 +162,6 @@ def apply_layer_unfreeze_to_grads(grads: Dict[str, Any], scale,
         if "layers" in keys:  # stacked [L, ...] scan params
             extra = (1,) * (g.ndim - 1)
             return g * scale.reshape((-1,) + extra).astype(g.dtype)
-        return jnp.zeros_like(g)
+        return g * rest_scale.astype(g.dtype)
 
     return jax.tree_util.tree_map_with_path(mark, grads)

@@ -39,19 +39,24 @@ import numpy as np
 _MANIFEST = "manifest.json"
 
 
-def _export_fn(fn, example_args, platforms=("cpu", "tpu")):
+def _export_fn(fn, example_args, platforms=("cpu", "tpu"),
+               strict_platform_check: bool = True):
     import jax
     from jax import export as jexport
 
-    # The platform-name safety check is disabled in the artifact: serving
-    # runtimes can surface real TPU silicon under an aliased PJRT platform
-    # name (e.g. the remote-TPU tunnel's "axon"), and jax.export's
-    # call-time check compares raw lowering-platform strings.  The
-    # artifact is still lowered strictly for `platforms`; disabling the
-    # check only skips the name comparison at call time.
+    # strict_platform_check=False bakes a DisabledSafetyCheck.platform()
+    # into the artifact, for serving runtimes that surface real TPU
+    # silicon under an aliased PJRT platform name (e.g. the remote-TPU
+    # tunnel's "axon") — jax.export's call-time check compares raw
+    # lowering-platform strings and would reject the alias.  The artifact
+    # is still lowered strictly for `platforms`; disabling only skips the
+    # name comparison at call time.  Keep the default strict: a
+    # mismatched-platform load should fail with jax.export's clear
+    # call-time error, not late or with undefined behavior.
+    checks = [] if strict_platform_check \
+        else [jexport.DisabledSafetyCheck.platform()]
     return jexport.export(
-        jax.jit(fn), platforms=tuple(platforms),
-        disabled_checks=[jexport.DisabledSafetyCheck.platform()],
+        jax.jit(fn), platforms=tuple(platforms), disabled_checks=checks,
     )(*example_args)
 
 
@@ -89,12 +94,15 @@ def export_embedder(variables, config, out_dir: str,
                     batch_sizes: Sequence[int] = (1, 8),
                     clip_seconds: float = 5.0, sample_rate: int = 16000,
                     with_mask: bool = True,
-                    platforms: Sequence[str] = ("cpu", "tpu")) -> str:
+                    platforms: Sequence[str] = ("cpu", "tpu"),
+                    strict_platform_check: bool = True) -> str:
     """Export the deterministic encoder forward for each batch bucket.
 
     ``variables``: the encoder's flax variables (``{'params': ...}``) —
     e.g. the BYOL online encoder subtree a checkpoint stores.  Weights
-    are baked into the artifact as constants.
+    are baked into the artifact as constants.  Pass
+    ``strict_platform_check=False`` only for aliased-platform runtimes
+    (see ``_export_fn``).
     """
     import jax.numpy as jnp
 
@@ -115,11 +123,15 @@ def export_embedder(variables, config, out_dir: str,
         if with_mask:
             ex = (jnp.zeros((b, t), jnp.float32),
                   jnp.ones((b, t), jnp.int32))
-            blobs[b] = _export_fn(fwd, ex, platforms=platforms).serialize()
+            blobs[b] = _export_fn(
+                fwd, ex, platforms=platforms,
+                strict_platform_check=strict_platform_check,
+            ).serialize()
         else:
             blobs[b] = _export_fn(
                 fwd_nomask, (jnp.zeros((b, t), jnp.float32),),
                 platforms=platforms,
+                strict_platform_check=strict_platform_check,
             ).serialize()
     return _write_artifact(out_dir, "embed", blobs, {
         "with_mask": with_mask,

@@ -65,6 +65,9 @@ def _encoder_config_from(config) -> WavLMConfig:
         if tpu_cfg.get("score_dtype", "float32") == "bfloat16" else None,
         seq_pad_multiple=int(tpu_cfg.get("seq_pad_multiple", 1)),
         attn_dropout_impl=tpu_cfg.get("attn_dropout_impl", "xla"),
+        qkv_impl=tpu_cfg.get("qkv_impl", "xla"),
+        frontend_remat=bool(tpu_cfg.get("frontend_remat", False)),
+        remat=tpu_cfg.get("remat", False),
     )
 
 
@@ -216,7 +219,8 @@ def train_categorical_emotions(config) -> Dict:
     state = place_state(state)
 
     def run_phase(phase: str, epochs: int, lr0: float, state,
-                  unfreeze_schedule=None, best_name: str = "best_classifier_model"):
+                  unfreeze_schedule=None, best_name: str = "best_classifier_model",
+                  rest_scale: float = 0.0):
         plateau = ReduceLROnPlateau(
             lr0, mode="max", factor=0.5,
             patience=em.get("scheduler_patience", 2),
@@ -235,7 +239,8 @@ def train_categorical_emotions(config) -> Dict:
                 batch.pop("__count__", None)
                 jbatch = place_batch(batch)
                 state, metrics = train_step(state, jbatch, cw, scale,
-                                            jnp.float32(lr))
+                                            jnp.float32(lr),
+                                            jnp.float32(rest_scale))
                 step_losses.append(metrics["loss"])  # device-side until epoch end
             epoch_loss = float(jnp.mean(jnp.stack(step_losses))) \
                 if step_losses else 0.0
@@ -288,13 +293,21 @@ def train_categorical_emotions(config) -> Dict:
         if em.get("gradual_unfreeze", True):
             schedule = lambda e, total: gradually_unfrozen_layers(  # noqa: E731
                 e, total, num_layers)
+            full_encoder = False
         else:
             schedule = lambda e, total: list(range(num_layers))  # noqa: E731
+            # gradual_unfreeze=False IS --freeze_ssl=False: the reference
+            # baseline gives EVERY ssl parameter an optimizer, conv
+            # frontend included (train_ft_cat_ser_weighted_checkpoint.py:
+            # 209-214) — not just the layer.{i} groups
+            full_encoder = True
+        full_encoder = bool(em.get("train_full_encoder", full_encoder))
         state, best_f1_ft = run_phase(
             "fine_tune", em.get("fine_tuning_epochs", 10),
             em.get("fine_tuning_lr", 5e-6), state,
             unfreeze_schedule=schedule,
             best_name="best_fine_tuned_model",
+            rest_scale=1.0 if full_encoder else 0.0,
         )
         best_f1 = max(best_f1, best_f1_ft)
 

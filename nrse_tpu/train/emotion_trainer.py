@@ -85,11 +85,16 @@ def make_emotion_train_step(
     Traced inputs beyond (state, batch): ``class_weights`` [K] (None for
     dimensional), ``layer_scale`` [L] per-layer encoder gradient gate
     (all-zeros = frozen encoder, phase 1), ``learning_rate`` scalar
-    (ReduceLROnPlateau feeds it via ``optax.inject_hyperparams``).
+    (ReduceLROnPlateau feeds it via ``optax.inject_hyperparams``), and
+    ``rest_scale`` — the gate on the NON-layer encoder params (conv
+    frontend, pos-conv, projections): 0.0 = reference gradual-unfreeze
+    semantics, 1.0 = baseline-e2e ``--freeze_ssl=False`` (every ssl
+    param trains, ``train_ft_cat_ser_weighted_checkpoint.py:209-214``).
     """
 
     def train_step(state: EmotionTrainState, batch: Dict[str, Any],
-                   class_weights, layer_scale, learning_rate):
+                   class_weights, layer_scale, learning_rate,
+                   rest_scale=0.0):
         rng = jax.random.fold_in(state.rng, state.step)
         rngs = {
             "dropout": rng,
@@ -116,7 +121,8 @@ def make_emotion_train_step(
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = apply_layer_unfreeze_to_grads(grads, layer_scale)
+        grads = apply_layer_unfreeze_to_grads(grads, layer_scale,
+                                              rest_scale=rest_scale)
 
         opt_state = state.opt_state
         # dynamic LR (inject_hyperparams exposes it in the chain state)
@@ -128,7 +134,8 @@ def make_emotion_train_step(
         # otherwise shrink the "frozen" encoder every step, unlike the
         # reference's requires_grad freezing (frozen params stay
         # bit-identical there).
-        updates = apply_layer_unfreeze_to_grads(updates, layer_scale)
+        updates = apply_layer_unfreeze_to_grads(updates, layer_scale,
+                                                rest_scale=rest_scale)
         new_params = optax.apply_updates(state.params, updates)
         new_state = EmotionTrainState(
             params=new_params,

@@ -85,3 +85,44 @@ def test_baseline_e2e_mode_unfreezes(baseline_setup):
         max_seconds=1.0, num_workers=2,
     )
     assert np.isfinite(result["best_dev_loss"])
+
+
+def test_bucketed_forward_timed_modes():
+    """overlap / prestage / perturb agree with the default mode on results
+    and audio-second accounting (stub forward, no model)."""
+    import jax.numpy as jnp
+
+    from nrse_tpu.baseline.eval_cat_ser import bucketed_forward_timed
+
+    class _E:
+        __slots__ = ("path", "emotion")
+
+        def __init__(self, i):
+            self.path = f"f{i}.wav"
+            self.emotion = i % 8
+
+    rng = np.random.default_rng(0)
+    loaded = [(_E(i), rng.standard_normal(
+        int(16000 * rng.uniform(0.5, 2.5))).astype(np.float32))
+        for i in range(10)]
+
+    calls = []
+
+    def forward(params, x, mask):
+        calls.append(np.asarray(x))
+        # per-row "logits" keyed on the audio so result ordering is testable
+        return jnp.stack([x.sum(-1)] * 8, axis=-1)
+
+    base, t_base, a_base = bucketed_forward_timed(forward, None, loaded, 4)
+    for mode in (dict(prestage=True, perturb=1e-6),
+                 dict(overlap=True, perturb=2e-6)):
+        res, t, a = bucketed_forward_timed(forward, None, loaded, 4, **mode)
+        assert a == a_base and t > 0
+        assert [e.path for e, _ in res] == [e.path for e, _ in base]
+        np.testing.assert_allclose(
+            np.stack([r for _, r in res]),
+            np.stack([r for _, r in base]), rtol=1e-4)
+    # perturb actually varied the device inputs: no two batches of the
+    # three passes are bit-identical (the tunnel-dedup defeat)
+    keys = [c.tobytes() for c in calls]
+    assert len(set(keys)) == len(keys)

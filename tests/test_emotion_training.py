@@ -148,6 +148,45 @@ def test_layer_gradient_gating(emo_config):
     )[0]
     assert float(jnp.abs(stacked[0]).max()) == 0.0
     assert float(jnp.abs(stacked[1]).max()) == 1.0
+    # rest_scale=1.0 (--freeze_ssl=False): non-layer encoder grads
+    # (conv frontend etc.) survive instead of being zeroed
+    gated3 = apply_layer_unfreeze_to_grads(
+        grads, layer_gradient_scale(cfg.num_hidden_layers,
+                                    range(cfg.num_hidden_layers)),
+        rest_scale=1.0,
+    )
+    fe = jax.tree.leaves(gated3["encoder"]["feature_extractor"])
+    assert all(float(jnp.abs(leaf).max()) == 1.0 for leaf in fe)
+
+
+def test_full_encoder_step_trains_frontend():
+    """rest_scale=1.0 in the train step moves the conv-frontend params —
+    the reference baseline's --freeze_ssl=False semantics
+    (train_ft_cat_ser_weighted_checkpoint.py:209-214)."""
+    from nrse_tpu.models.emotion import layer_gradient_scale
+    from nrse_tpu.train.emotion_trainer import make_emotion_train_step
+
+    cfg, model, opt, state, batch = _tiny_emotion_setup()
+    step = make_emotion_train_step(model, opt, "categorical",
+                                   cfg.num_hidden_layers)
+    all_layers = layer_gradient_scale(
+        cfg.num_hidden_layers, range(cfg.num_hidden_layers))
+    weights = jnp.ones((8,))
+
+    def max_abs_diff(a, b):
+        return max(float(jnp.abs(x - y).max())
+                   for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    # rest_scale=0.0: frontend frozen even with all layers unfrozen
+    s0, _ = step(state, batch, weights, all_layers, 1e-2, jnp.float32(0.0))
+    assert max_abs_diff(s0.params["encoder"]["feature_extractor"],
+                        state.params["encoder"]["feature_extractor"]) == 0.0
+    assert max_abs_diff(s0.params["encoder"]["encoder"],
+                        state.params["encoder"]["encoder"]) > 0.0
+    # rest_scale=1.0: frontend trains too
+    s1, _ = step(state, batch, weights, all_layers, 1e-2, jnp.float32(1.0))
+    assert max_abs_diff(s1.params["encoder"]["feature_extractor"],
+                        state.params["encoder"]["feature_extractor"]) > 0.0
 
 
 def test_batch_placer_sharding():

@@ -65,8 +65,13 @@ def main(argv=None):
 
     for b in buckets:
         t0 = time.time()
+        # the bench runs this artifact through the remote tunnel, whose
+        # PJRT platform name ("axon") aliases real TPU silicon — the
+        # call-time platform-name check must be baked off for this
+        # artifact specifically (strict stays the default elsewhere)
         export_embedder(variables, cfg, args.out, batch_sizes=(b,),
-                        clip_seconds=args.seconds, platforms=("tpu",))
+                        clip_seconds=args.seconds, platforms=("tpu",),
+                        strict_platform_check=False)
         print(f"# bucket {b}: exported in {time.time() - t0:.0f}s",
               flush=True)
     # the per-bucket loop above overwrites manifest.json each time with a

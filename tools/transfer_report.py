@@ -137,8 +137,9 @@ def ser_config(preset, labels_csv, audio_dir, noise_dir, encoder_ckpt,
         # (dev.ipynb cell 52): every parameter trainable from step 0
         # (run_train_e2e.sh --freeze_ssl=False) and the SER corpus noisy
         # (config_cat_noisy.json points at the noisy wav dir) — so the e2e
-        # leg fine-tunes all layers (no gradual schedule) WITH train-time
-        # noise augmentation
+        # leg fine-tunes ALL ssl params (no gradual schedule, conv
+        # frontend included — gradual_unfreeze=False sets rest_scale=1.0
+        # in the trainer) WITH train-time noise augmentation
         config["emotion"].update({
             "unfreeze_encoder": True,
             "gradual_unfreeze": False,
@@ -146,6 +147,13 @@ def ser_config(preset, labels_csv, audio_dir, noise_dir, encoder_ckpt,
             "fine_tuning_lr": ft_lr,
             "add_noise_during_training": True,
         })
+        # frontend training needs its activations rematted to fit HBM
+        # (conv stack residuals, docs/round4_status.md §2); "light" remat
+        # for the transformer like the measured SER-bench geometry
+        config.setdefault("tpu", {})
+        config["tpu"]["frontend_remat"] = True
+        if not smoke:
+            config["tpu"]["remat"] = "light"
     else:
         config["emotion"].update({
             "unfreeze_encoder": False,       # frozen-encoder transfer readout
@@ -442,16 +450,21 @@ def main():
                 "accuracy"),
             row("random-init", results["categorical_random"], "accuracy"),
         ]
-    if "categorical_byol_e2e" in results:
+    e2e_rows = [(name, results[key]) for name, key in
+                (("BYOL-pretrained", "categorical_byol_e2e"),
+                 ("random-init", "categorical_random_e2e"))
+                if key in results]  # a --legs rerun may carry only one leg
+    if e2e_rows:
         lines += [
             "",
             "## Categorical SER — e2e fine-tuned (the reference's flat-row"
             " config)",
             "",
-            "Phase 2: every transformer layer + heads trainable from"
-            " epoch 0 (run_train_e2e.sh --freeze_ssl=False semantics; the"
-            " conv frontend stays frozen — the trainer only re-enables"
-            " `layer.{i}` groups, like the reference's own unfreeze code),"
+            "Phase 2: the ENTIRE ssl model + heads trainable from epoch 0"
+            " — transformer layers and conv frontend, matching"
+            " run_train_e2e.sh --freeze_ssl=False, which gives every ssl"
+            " parameter an optimizer"
+            " (train_ft_cat_ser_weighted_checkpoint.py:209-214) —"
             " train-time noise augmentation on (config_cat_noisy.json"
             " points the reference's SER training at the noisy corpus),"
             " BYOL pretraining SNRs bracketing the eval points.  This is"
@@ -461,29 +474,24 @@ def main():
             "| encoder (e2e fine-tuned) | clean | snr8 | snr4 |"
             " Δ(clean→snr4) |",
             "|---|---|---|---|---|",
-            row("BYOL-pretrained", results["categorical_byol_e2e"],
-                "macro_f1"),
-            row("random-init", results["categorical_random_e2e"],
-                "macro_f1"),
+            *[row(name, res, "macro_f1") for name, res in e2e_rows],
             "",
             "| encoder (e2e fine-tuned) | accuracy clean | snr8 | snr4 |"
             " Δ |",
             "|---|---|---|---|---|",
-            row("BYOL-pretrained", results["categorical_byol_e2e"],
-                "accuracy"),
-            row("random-init", results["categorical_random_e2e"],
-                "accuracy"),
+            *[row(name, res, "accuracy") for name, res in e2e_rows],
         ]
-    if "dimensional_byol" in results:
+    dim_rows = [(name, results[key]) for name, key in
+                (("BYOL-pretrained", "dimensional_byol"),
+                 ("random-init", "dimensional_random"))
+                if key in results]
+    if dim_rows:
         lines += ["", "## Dimensional SER (CCC)", ""]
         for dim in ("arousal", "valence", "dominance"):
             lines += [
                 f"| encoder (frozen) | CCC {dim} clean | snr8 | snr4 | Δ |",
                 "|---|---|---|---|---|",
-                row("BYOL-pretrained", results["dimensional_byol"],
-                    f"ccc_{dim}"),
-                row("random-init", results["dimensional_random"],
-                    f"ccc_{dim}"),
+                *[row(name, res, f"ccc_{dim}") for name, res in dim_rows],
                 "",
             ]
     lines += [
