@@ -1143,6 +1143,9 @@ def main():
         host_loader = HostDataLoader(
             dataset, range(len(dataset)), batch, shuffle=True,
             num_workers=int(os.environ.get("NRSE_BENCH_WORKERS", 8)),
+            # cold-corpus A/B (VERDICT r4 next #4): 0 disables the
+            # posix_fadvise readahead window
+            readahead_batches=int(os.environ.get("NRSE_BENCH_READAHEAD", 4)),
         )
         prefetch = PrefetchLoader(host_loader, depth=2)
 

@@ -140,7 +140,8 @@ def train_dimensional_emotions(config) -> Dict:
     state = place_state(state)
 
     def run_phase(phase: str, epochs: int, lr0: float, state,
-                  unfreeze_schedule=None, best_name="best_classifier_model"):
+                  unfreeze_schedule=None, best_name="best_classifier_model",
+                  rest_scale: float = 0.0):
         plateau = ReduceLROnPlateau(
             lr0, mode="max", factor=0.5,
             patience=em.get("scheduler_patience", 2),
@@ -159,7 +160,8 @@ def train_dimensional_emotions(config) -> Dict:
                 batch.pop("__count__", None)
                 jbatch = place_batch(batch)
                 state, metrics = train_step(state, jbatch, None, scale,
-                                            jnp.float32(lr))
+                                            jnp.float32(lr),
+                                            jnp.float32(rest_scale))
                 step_losses.append(metrics["loss"])  # device-side until epoch end
             epoch_loss = float(jnp.mean(jnp.stack(step_losses))) \
                 if step_losses else 0.0
@@ -202,13 +204,23 @@ def train_dimensional_emotions(config) -> Dict:
     )
     if em.get("unfreeze_encoder", False):
         restored, _ = restore_checkpoint(ckpt_dir, "best_classifier_model", state)
+        # gradual_unfreeze=False IS --freeze_ssl=False (every ssl param
+        # trains, conv frontend included) — same semantics as the
+        # categorical trainer (train_ft_cat_ser_weighted_checkpoint.py:209-214)
+        if em.get("gradual_unfreeze", True):
+            schedule = lambda e, total: gradually_unfrozen_layers(  # noqa: E731
+                e, total, num_layers)
+            full_encoder = False
+        else:
+            schedule = lambda e, total: list(range(num_layers))  # noqa: E731
+            full_encoder = True
+        full_encoder = bool(em.get("train_full_encoder", full_encoder))
         state, best_ft = run_phase(
             "fine_tune", em.get("fine_tuning_epochs", 10),
             em.get("fine_tuning_lr", 5e-6), restored,
-            unfreeze_schedule=lambda e, total: gradually_unfrozen_layers(
-                e, total, num_layers
-            ),
+            unfreeze_schedule=schedule,
             best_name="best_fine_tuned_model",
+            rest_scale=1.0 if full_encoder else 0.0,
         )
         best_ccc = max(best_ccc, best_ft)
 

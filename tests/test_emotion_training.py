@@ -106,6 +106,51 @@ def test_dimensional_trainer(emo_config, tmp_path):
         cfg["training"]["log_dir"], "val_scatter_arousal.png"))
 
 
+def test_dimensional_trainer_full_encoder_e2e(emo_config, tmp_path):
+    """gradual_unfreeze=False in the DIMENSIONAL trainer also trains the
+    conv frontend in phase 2 (--freeze_ssl=False parity with the
+    categorical trainer; train_ft_cat_ser_weighted_checkpoint.py:209-214)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from nrse_tpu.train import dimentional_emotions as dim_mod
+    from nrse_tpu.train.dimentional_emotions import train_dimensional_emotions
+
+    cfg = copy.deepcopy(emo_config)
+    cfg["emotion"].update({
+        "checkpoint_dir": str(tmp_path / "dim_e2e"),
+        "unfreeze_encoder": True,
+        "gradual_unfreeze": False,
+        "classifier_epochs": 1,
+        "fine_tuning_epochs": 1,
+        "patience": 3,
+    })
+    # capture the rest_scale each train_step is called with, per phase
+    seen = []
+    orig = dim_mod.make_emotion_train_step
+
+    def spy_make(*a, **kw):
+        step = orig(*a, **kw)
+
+        def wrapped(state, batch, cw, scale, lr, rest_scale=0.0):
+            seen.append(float(jnp.asarray(rest_scale)))
+            return step(state, batch, cw, scale, lr, rest_scale)
+
+        return wrapped
+
+    dim_mod.make_emotion_train_step = spy_make
+    try:
+        result = train_dimensional_emotions(cfg)
+    finally:
+        dim_mod.make_emotion_train_step = orig
+    assert -1.0 <= result["best_ccc"] <= 1.0
+    # phase 1 steps run with rest_scale 0.0, phase 2 with 1.0
+    assert 0.0 in seen and 1.0 in seen
+    assert seen[0] == 0.0 and seen[-1] == 1.0
+
+
 def test_gradual_unfreeze_schedule():
     from nrse_tpu.models.emotion import gradually_unfrozen_layers
 
