@@ -802,14 +802,20 @@ def run_serve_aot_bench():
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((2, t)), jnp.ones((2, t), jnp.int32))
     if on_tpu:
-        # bake bf16 weights into the artifact: the tuned config computes
-        # in bf16 anyway, and f32 constants made each bucket's blob
-        # 1.26 GB — the remote-compile of which did not finish inside the
-        # bench timeout through the tunnel.  The jit comparator uses the
-        # SAME cast params (apples-to-apples).
+        # bf16 weights: the tuned config computes in bf16 anyway, and
+        # f32 made the baked blobs 1.26 GB (remote compile blew the bench
+        # timeout).  The jit comparator uses the SAME cast params
+        # (apples-to-apples).
         variables = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, variables)
+    # default UNBAKED: program-only StableHLO + params.msgpack staged on
+    # device once at load.  Baked-in constants make each large bucket a
+    # 631 MB blob, which the tunnel's /remote_compile rejects outright
+    # (HTTP 413) — and separate weights are the realistic serving layout
+    # anyway (the reference loads final_*.pt beside its model code,
+    # eval_cat_ser_weighted_with_list.py:153-206).
+    baked = os.environ.get("NRSE_BENCH_AOT_BAKED", "0") == "1"
 
     out_dir = os.environ.get(
         "NRSE_BENCH_AOT_DIR",
@@ -834,12 +840,17 @@ def run_serve_aot_bench():
 
         with open(os.path.join(out_dir, "manifest.json")) as f:
             staged = json.load(f)
+        # canonicalize through JSON: the staged manifest stores tuples
+        # (conv_dim/conv_kernel/conv_stride) as lists
+        canon = json.loads(json.dumps(_config_meta(cfg)))
         mismatches = [
-            k for k, v in _config_meta(cfg).items()
+            k for k, v in canon.items()
             if staged.get("encoder_config", {}).get(k) != v
         ]
         if float(staged.get("clip_seconds", -1.0)) != seconds:
             mismatches.append("clip_seconds")
+        if ("weights" in staged) == baked:
+            mismatches.append("bake_weights")
         if mismatches:
             print(f"# bench[serveaot]: staged artifact config mismatch "
                   f"({', '.join(mismatches)}) — re-exporting",
@@ -855,7 +866,8 @@ def run_serve_aot_bench():
         # name ("axon") aliases real TPU silicon
         export_embedder(variables, cfg, out_dir, batch_sizes=buckets,
                         clip_seconds=seconds, platforms=platforms,
-                        strict_platform_check=not on_tpu)
+                        strict_platform_check=not on_tpu,
+                        bake_weights=baked)
     sm = ServingModel(out_dir)
     if reuse:
         buckets = tuple(int(b) for b in sm.manifest["buckets"])

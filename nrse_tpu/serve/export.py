@@ -5,8 +5,13 @@ Artifact layout (one directory):
     manifest.json                 — model kind, buckets, shapes, dtypes,
                                     sample rate, clip seconds, config
     embed_b{B}.stablehlo          — one serialized Exported per batch
-                                    bucket (weights baked in as
-                                    constants; platforms cpu + tpu)
+                                    bucket (platforms cpu + tpu; weights
+                                    baked in as constants, or — with
+                                    ``bake_weights=False`` — passed as a
+                                    runtime argument)
+    params.msgpack                — the weights pytree (unbaked exports
+                                    only; loaded once at serving startup,
+                                    like the reference's final_*.pt)
 
 Two exporters cover the framework's serving surfaces:
 
@@ -72,6 +77,21 @@ def _config_meta(config) -> Dict[str, Any]:
     return meta
 
 
+def _write_weights(out_dir: str, variables) -> str:
+    """Serialize the variables pytree to ``params.msgpack`` next to the
+    program blobs (flax msgpack — nested dicts of arrays, bf16-aware).
+    Returns the filename recorded in the manifest."""
+    import jax
+    from flax import serialization
+
+    os.makedirs(out_dir, exist_ok=True)
+    name = "params.msgpack"
+    with open(os.path.join(out_dir, name), "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.device_get(variables)))
+    return name
+
+
 def _write_artifact(out_dir: str, kind: str, blobs: Dict[int, bytes],
                     manifest_extra: Dict[str, Any]) -> str:
     os.makedirs(out_dir, exist_ok=True)
@@ -95,12 +115,22 @@ def export_embedder(variables, config, out_dir: str,
                     clip_seconds: float = 5.0, sample_rate: int = 16000,
                     with_mask: bool = True,
                     platforms: Sequence[str] = ("cpu", "tpu"),
-                    strict_platform_check: bool = True) -> str:
+                    strict_platform_check: bool = True,
+                    bake_weights: bool = True) -> str:
     """Export the deterministic encoder forward for each batch bucket.
 
     ``variables``: the encoder's flax variables (``{'params': ...}``) —
-    e.g. the BYOL online encoder subtree a checkpoint stores.  Weights
-    are baked into the artifact as constants.  Pass
+    e.g. the BYOL online encoder subtree a checkpoint stores.
+
+    ``bake_weights=True`` embeds them into the StableHLO as constants
+    (fully self-contained blob); ``False`` exports the weights as a
+    runtime *argument* and writes them to ``params.msgpack`` alongside —
+    the blob shrinks from ~weights-size to ~program-size (WavLM-large:
+    630 MB → ~5 MB), which serving stacks that POST modules to a remote
+    compiler require (the TPU-tunnel's /remote_compile rejects >~few
+    hundred MB bodies with HTTP 413), and the weights load the way the
+    reference's serving path loads ``final_*.pt`` — separately from the
+    program (eval_cat_ser_weighted_with_list.py:153-206).  Pass
     ``strict_platform_check=False`` only for aliased-platform runtimes
     (see ``_export_fn``).
     """
@@ -111,35 +141,43 @@ def export_embedder(variables, config, out_dir: str,
     model = WavLMModel(config)
     t = int(clip_seconds * sample_rate)
 
-    def fwd(audio, mask):
-        return model.apply(variables, audio, attention_mask=mask,
-                           deterministic=True)
+    if bake_weights:
+        def fwd(audio, mask):
+            return model.apply(variables, audio, attention_mask=mask,
+                               deterministic=True)
 
-    def fwd_nomask(audio):
-        return model.apply(variables, audio, deterministic=True)
+        def fwd_nomask(audio):
+            return model.apply(variables, audio, deterministic=True)
+    else:
+        def fwd(params, audio, mask):
+            return model.apply(params, audio, attention_mask=mask,
+                               deterministic=True)
+
+        def fwd_nomask(params, audio):
+            return model.apply(params, audio, deterministic=True)
 
     blobs = {}
     for b in batch_sizes:
-        if with_mask:
-            ex = (jnp.zeros((b, t), jnp.float32),
-                  jnp.ones((b, t), jnp.int32))
-            blobs[b] = _export_fn(
-                fwd, ex, platforms=platforms,
-                strict_platform_check=strict_platform_check,
-            ).serialize()
-        else:
-            blobs[b] = _export_fn(
-                fwd_nomask, (jnp.zeros((b, t), jnp.float32),),
-                platforms=platforms,
-                strict_platform_check=strict_platform_check,
-            ).serialize()
-    return _write_artifact(out_dir, "embed", blobs, {
+        ex = (jnp.zeros((b, t), jnp.float32),
+              jnp.ones((b, t), jnp.int32))
+        if not with_mask:
+            ex = ex[:1]
+        if not bake_weights:
+            ex = (variables,) + ex
+        blobs[b] = _export_fn(
+            fwd if with_mask else fwd_nomask, ex, platforms=platforms,
+            strict_platform_check=strict_platform_check,
+        ).serialize()
+    extra = {
         "with_mask": with_mask,
         "clip_seconds": clip_seconds,
         "sample_rate": sample_rate,
         "outputs": ["sequence", "pooled"],
         "encoder_config": _config_meta(config),
-    })
+    }
+    if not bake_weights:
+        extra["weights"] = _write_weights(out_dir, variables)
+    return _write_artifact(out_dir, "embed", blobs, extra)
 
 
 def export_classifier(classifier, variables, out_dir: str,
@@ -200,6 +238,19 @@ class ServingModel:
         self.with_mask = self.manifest.get("with_mask", True)
         self.clip_samples = int(self.manifest["clip_seconds"]
                                 * self.manifest["sample_rate"])
+        # unbaked artifact: weights live beside the program (the way the
+        # reference's serving path loads final_*.pt separately) and are
+        # staged onto the device ONCE here — each call then reuses the
+        # resident buffers instead of re-uploading ~630 MB per request
+        self.params = None
+        if "weights" in self.manifest:
+            import jax
+            from flax import serialization
+
+            with open(os.path.join(artifact_dir,
+                                   self.manifest["weights"]), "rb") as f:
+                restored = serialization.msgpack_restore(f.read())
+            self.params = jax.device_put(restored)
 
     def _bucket_for(self, n: int) -> int:
         for b in sorted(self.buckets):
@@ -244,6 +295,8 @@ class ServingModel:
             m[chunk:, 0] = 1  # avoid fully-empty frame counts downstream
             args = (jnp.asarray(a), jnp.asarray(m)) if self.with_mask \
                 else (jnp.asarray(a),)
+            if self.params is not None:
+                args = (self.params,) + args
             res = self.buckets[b].call(*args)
             res = res if isinstance(res, (tuple, list)) else (res,)
             outs.append(tuple(np.asarray(r)[:chunk] for r in res))

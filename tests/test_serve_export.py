@@ -151,8 +151,37 @@ def test_cpu_host_stager_multi_bucket_manifest(tmp_path):
         manifest = json.load(f)
     assert manifest["buckets"] == [1, 2]
     assert set(manifest["files"]) == {"1", "2"}
+    # default stager output is UNBAKED: weights ride beside the program
+    assert os.path.isfile(os.path.join(out, manifest["weights"]))
     for b, fname in manifest["files"].items():
         with open(os.path.join(out, fname), "rb") as f:
             exp = jexport.deserialize(f.read())
         assert exp.platforms == ("tpu",)
-        assert exp.in_avals[0].shape[0] == int(b)
+        # args are (params_pytree..., audio, mask): audio is in_avals[-2]
+        assert exp.in_avals[-2].shape[0] == int(b)
+
+
+def test_unbaked_artifact_matches_live_model(embed_setup, tmp_path):
+    """bake_weights=False: program-only blobs + params.msgpack must
+    serve bit-for-bit what the baked artifact serves (same math; the
+    weights just arrive as a runtime argument staged once at load)."""
+    cfg, model, variables, _ = embed_setup
+    out = str(tmp_path / "unbaked")
+    export_embedder(variables, cfg, out, batch_sizes=(2,),
+                    clip_seconds=1.0, bake_weights=False)
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["weights"] == "params.msgpack"
+    serve = load_serving_model(out)
+    assert serve.params is not None
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32)
+    seq_live, pooled_live = model.apply(
+        variables, jnp.asarray(audio),
+        attention_mask=jnp.ones((2, 16000), jnp.int32),
+        deterministic=True,
+    )
+    seq_srv, pooled_srv = serve(audio)
+    np.testing.assert_allclose(np.asarray(pooled_live), pooled_srv,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seq_live), seq_srv,
+                               rtol=1e-5, atol=1e-5)

@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--arch", default="large", choices=("large", "tiny"),
                     help="tiny = fast CPU-testable artifact")
+    ap.add_argument("--baked", action="store_true",
+                    help="bake weights into the StableHLO as constants "
+                         "(630 MB/bucket for large — the TPU tunnel's "
+                         "remote compiler rejects bodies that big with "
+                         "HTTP 413; default is program-only blobs + "
+                         "params.msgpack)")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -71,7 +77,8 @@ def main(argv=None):
         # artifact specifically (strict stays the default elsewhere)
         export_embedder(variables, cfg, args.out, batch_sizes=(b,),
                         clip_seconds=args.seconds, platforms=("tpu",),
-                        strict_platform_check=False)
+                        strict_platform_check=False,
+                        bake_weights=args.baked)
         print(f"# bucket {b}: exported in {time.time() - t0:.0f}s",
               flush=True)
     # the per-bucket loop above overwrites manifest.json each time with a
