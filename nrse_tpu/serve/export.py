@@ -183,35 +183,48 @@ def export_embedder(variables, config, out_dir: str,
 def export_classifier(classifier, variables, out_dir: str,
                       batch_sizes: Sequence[int] = (1, 8),
                       clip_seconds: float = 5.0, sample_rate: int = 16000,
-                      task: str = "both") -> str:
+                      task: str = "both",
+                      bake_weights: bool = True) -> str:
     """Export the SER classifier forward (audio + mask → logits).
 
     ``task``: "categorical" (8-class logits), "dimensional" (A/V/D
-    values) or "both" — matching ``EmotionClassifier.__call__``."""
+    values) or "both" — matching ``EmotionClassifier.__call__``.
+    ``bake_weights`` as in :func:`export_embedder`."""
     import jax.numpy as jnp
 
     t = int(clip_seconds * sample_rate)
 
-    def fwd(audio, mask):
-        cat, dim = classifier.apply(variables, audio, mask, task,
-                                    deterministic=True)
-        return tuple(o for o in (cat, dim) if o is not None)
+    if bake_weights:
+        def fwd(audio, mask):
+            cat, dim = classifier.apply(variables, audio, mask, task,
+                                        deterministic=True)
+            return tuple(o for o in (cat, dim) if o is not None)
+    else:
+        def fwd(params, audio, mask):
+            cat, dim = classifier.apply(params, audio, mask, task,
+                                        deterministic=True)
+            return tuple(o for o in (cat, dim) if o is not None)
 
     blobs = {}
     for b in batch_sizes:
         ex = (jnp.zeros((b, t), jnp.float32), jnp.ones((b, t), jnp.int32))
+        if not bake_weights:
+            ex = (variables,) + ex
         blobs[b] = _export_fn(fwd, ex).serialize()
     outputs = {"categorical": ["categorical_logits"],
                "dimensional": ["dimensional_values"],
                "both": ["categorical_logits", "dimensional_values"]}[task]
-    return _write_artifact(out_dir, "classify", blobs, {
+    extra = {
         "with_mask": True,
         "clip_seconds": clip_seconds,
         "sample_rate": sample_rate,
         "task": task,
         "outputs": outputs,
         "encoder_config": _config_meta(classifier.encoder_config),
-    })
+    }
+    if not bake_weights:
+        extra["weights"] = _write_weights(out_dir, variables)
+    return _write_artifact(out_dir, "classify", blobs, extra)
 
 
 class ServingModel:

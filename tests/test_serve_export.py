@@ -131,6 +131,32 @@ def test_classifier_artifact(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_unbaked_classifier_artifact(tmp_path):
+    from nrse_tpu.models.emotion import EmotionClassifier
+
+    cfg = WavLMConfig.tiny(layerdrop=0.0)
+    clf = EmotionClassifier(cfg, hidden_dim=32, dropout=0.0,
+                            num_emotions=8)
+    x = jnp.zeros((1, 16000), jnp.float32)
+    m = jnp.ones((1, 16000), jnp.int32)
+    variables = clf.init({"params": jax.random.PRNGKey(0)}, x, m)
+    out = str(tmp_path / "clf_unbaked")
+    export_classifier(clf, variables, out, batch_sizes=(2,),
+                      clip_seconds=1.0, task="categorical",
+                      bake_weights=False)
+    serve = load_serving_model(out)
+    assert serve.params is not None
+    audio = np.random.default_rng(4).standard_normal((2, 16000)) \
+        .astype(np.float32)
+    cat = serve(audio)
+    cat_live, _ = clf.apply(
+        variables, jnp.asarray(audio), m.repeat(2, 0), "categorical",
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(cat_live), cat,
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_cpu_host_stager_multi_bucket_manifest(tmp_path):
     """tools/export_aot_artifact.py — the CPU-host pre-stager the serveaot
     bench reuses via NRSE_BENCH_AOT_REUSE: its per-bucket export loop must
