@@ -1164,8 +1164,13 @@ def main():
             dataset, range(len(dataset)), batch, shuffle=True,
             num_workers=int(os.environ.get("NRSE_BENCH_WORKERS", 8)),
             # cold-corpus A/B (VERDICT r4 next #4): 0 disables the
-            # posix_fadvise readahead window
+            # posix_fadvise readahead window.  SHUFFLE_SEED picks a
+            # different file subset per run — a guest-side
+            # drop_caches is not enough to re-cool files the hypervisor
+            # layer has cached, so honest cold legs must touch
+            # never-read files
             readahead_batches=int(os.environ.get("NRSE_BENCH_READAHEAD", 4)),
+            seed=int(os.environ.get("NRSE_BENCH_SHUFFLE_SEED", 0)),
         )
         prefetch = PrefetchLoader(host_loader, depth=2)
 
